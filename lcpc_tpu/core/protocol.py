@@ -1,0 +1,379 @@
+"""The 2-D linear-code polynomial commitment: commit / prove / verify.
+
+TPU-native re-implementation of lcpc-2d (lcpc-2d/src/lib.rs:622-1123):
+
+- commit: pad coefficients into an (n_rows x n_per_row) matrix, batch-encode
+  every row on device (NTT or expander SpMV), convert to canonical bytes on
+  device, hash columns and build the Merkle tree on device
+  (lib.rs:622-704).  Rows are independent (row-parallel over a mesh); columns
+  are the hash lanes.
+- prove: per degree test, draw a ChaCha tensor from the transcript, collapse
+  the coefficient matrix (a modular vector-matrix product on device), then
+  Fiat-Shamir column sampling and column openings (lib.rs:1004-1123).
+- verify: re-derive the challenges, re-encode the proof rows, and check, for
+  every opened column, the Merkle path and the degree-test/eval dot products
+  (lib.rs:832-1000), batched on device across the opened columns.
+
+Fiat-Shamir order is load-bearing: p_random(s) -> p_eval -> column indices,
+with columns sampled WITH replacement (lib.rs:1024-1080).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.spec import FieldSpec
+from ..fs.chacha import ChaCha20Rng
+from ..fs.merlin import Transcript
+from ..fs.sampling import field_random_vec, uniform_indices
+from ..ops import blake3_jax
+from ..ops.limbs import get_ops
+from .encoding import LcEncoding
+
+ZERO_DIGEST = bytes(32)  # Output::<D>::default() used for padding (lib.rs:665)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length() if x > 1 else 1
+
+
+# ---------------------------------------------------------------------------
+# data types
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LcCommit:
+    """Prover state (lcpc-2d/src/lib.rs:173-184)."""
+
+    enc: LcEncoding
+    coeffs: jnp.ndarray  # (W, n_rows, n_per_row) Montgomery limbs
+    comm: jnp.ndarray    # (W, n_rows, n_cols) Montgomery limbs
+    n_rows: int
+    n_per_row: int
+    n_cols: int
+    # full Merkle array, leaves (incl. zero padding) first: (2*np2-1, 32) u8
+    hashes: np.ndarray
+
+    def get_root(self) -> bytes:
+        return bytes(self.hashes[-1])
+
+    def get_n_rows(self) -> int:
+        return self.n_rows
+
+    def get_n_per_row(self) -> int:
+        return self.n_per_row
+
+    def get_n_cols(self) -> int:
+        return self.n_cols
+
+    def prove(self, outer_tensor: list[int], tr: Transcript) -> "LcEvalProof":
+        return prove(self, outer_tensor, self.enc, tr)
+
+
+@dataclasses.dataclass
+class LcColumn:
+    """One opened column + Merkle path (lib.rs:401-408).
+
+    col_mont holds the column values as Montgomery 16-bit limbs (W, n_rows) —
+    numerically identical to the Rust wire form, so serialization repacks.
+    """
+
+    col_mont: np.ndarray  # (W, n_rows) uint32 16-bit limbs
+    path: list[bytes]
+
+
+@dataclasses.dataclass
+class LcEvalProof:
+    """Evaluation proof (lib.rs:491-500)."""
+
+    n_cols: int
+    p_eval: list[int]               # canonical values
+    p_random_vec: list[list[int]]   # canonical values
+    columns: list[LcColumn]
+
+    def get_n_cols(self) -> int:
+        return self.n_cols
+
+    def get_n_per_row(self) -> int:
+        return len(self.p_eval)
+
+    def verify(self, root: bytes, outer_tensor: list[int], inner_tensor: list[int],
+               enc: LcEncoding, tr: Transcript) -> int:
+        return verify(root, outer_tensor, inner_tensor, self, enc, tr)
+
+
+class ProverError(Exception):
+    pass
+
+
+class VerifierError(Exception):
+    def __init__(self, kind: str):
+        super().__init__(kind)
+        self.kind = kind
+
+
+# ---------------------------------------------------------------------------
+# commit (lib.rs:622-785)
+# ---------------------------------------------------------------------------
+
+
+def _pack_words(ops, canon: jnp.ndarray) -> jnp.ndarray:
+    """(W, R, C) canonical limbs -> (R*W/2, C) LE u32 words, row-major."""
+    w, r, c = canon.shape
+    words = canon[0::2] | (canon[1::2] << jnp.uint32(16))  # (W/2, R, C)
+    return jnp.swapaxes(words, 0, 1).reshape(r * (w // 2), c)
+
+
+def _hash_and_merkleize(ops, comm: jnp.ndarray, n_cols_np2: int):
+    """Column digests + all Merkle layers; returns list of (8, n) arrays."""
+    canon = ops.from_mont(comm)
+    words = _pack_words(ops, canon)
+    leaves = blake3_jax.hash_word_columns(words)  # (8, n_cols)
+    n_cols = comm.shape[2]
+    if n_cols_np2 > n_cols:
+        leaves = jnp.pad(leaves, [(0, 0), (0, n_cols_np2 - n_cols)])
+    layers = [leaves]
+    while layers[-1].shape[1] > 1:
+        layers.append(blake3_jax.merkle_layer(layers[-1]))
+    return layers
+
+
+def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding) -> LcCommit:
+    """Commit to a polynomial (lib.rs:622-671).
+
+    `coeffs` is either a list of canonical Python ints, or a (W, N) uint32
+    limb-major array already in Montgomery form (device path for benches).
+    """
+    ops = get_ops(enc.spec)
+    if isinstance(coeffs, list):
+        length = len(coeffs)
+        arr = ops.encode_host(coeffs)  # (W, N) Montgomery
+    else:
+        arr = jnp.asarray(coeffs)
+        assert arr.ndim == 2 and arr.shape[0] == ops.w
+        length = arr.shape[1]
+
+    n_rows, n_per_row, n_cols = enc.get_dims(length)
+    assert n_rows * n_per_row >= length
+    assert (n_rows - 1) * n_per_row < length
+    assert enc.dims_ok(n_per_row, n_cols)
+
+    pad = n_rows * n_per_row - length
+    mat = jnp.pad(jnp.asarray(arr), [(0, 0), (0, pad)]).reshape(
+        ops.w, n_rows, n_per_row
+    )
+    comm_mat = enc.encode_rows(mat)  # (W, n_rows, n_cols)
+
+    n_cols_np2 = _next_pow2(n_cols)
+    layers = _hash_and_merkleize(ops, comm_mat, n_cols_np2)
+
+    # flatten layers to the reference's hashes vec (leaves first)
+    parts = [blake3_jax.digests_to_bytes(l) for l in layers]
+    hashes = np.concatenate(parts, axis=0)
+    assert hashes.shape[0] == 2 * n_cols_np2 - 1
+
+    return LcCommit(
+        enc=enc,
+        coeffs=mat,
+        comm=comm_mat,
+        n_rows=n_rows,
+        n_per_row=n_per_row,
+        n_cols=n_cols,
+        hashes=hashes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# prove (lib.rs:1004-1123)
+# ---------------------------------------------------------------------------
+
+
+def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]) -> list[int]:
+    """tensor (n_rows) . coeffs (n_rows x n_per_row) -> n_per_row canonical ints.
+
+    The device computes sum_r tensor[r] * coeffs[r, :] with Montgomery dots
+    (collapse_columns, lib.rs:1095-1123).
+    """
+    t = ops.encode_host(tensor_vals)           # (W, R)
+    prod = ops.dot_mont(t[:, :, None], coeffs_mat, axis=1)  # (W, n_per_row)
+    return ops.decode_host(ops.from_mont(prod), from_mont=False)
+
+
+def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
+    """Extract columns + Merkle paths (open_column, lib.rs:788-825)."""
+    idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
+    gathered = np.asarray(jnp.take(comm.comm, idx, axis=2))  # (W, R, k)
+    n_cols_np2 = _next_pow2(comm.n_cols)
+    path_len = max(0, n_cols_np2.bit_length() - 1)
+    out = []
+    # layer offsets within the flat hashes array
+    offsets = []
+    off = 0
+    size = n_cols_np2
+    while size >= 1:
+        offsets.append(off)
+        off += size
+        if size == 1:
+            break
+        size //= 2
+    for k, c in enumerate(cols):
+        path = []
+        cc = c
+        for lvl in range(path_len):
+            sib = cc ^ 1
+            path.append(bytes(comm.hashes[offsets[lvl] + sib]))
+            cc >>= 1
+        out.append(LcColumn(col_mont=gathered[:, :, k], path=path))
+    return out
+
+
+def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
+          tr: Transcript) -> LcEvalProof:
+    spec = enc.spec
+    ops = get_ops(spec)
+    if len(outer_tensor) != comm.n_rows:
+        raise ProverError("outer tensor: wrong size")
+
+    n_degree_tests_ = enc.get_n_degree_tests()
+    p_random_vec: list[list[int]] = []
+    for _ in range(n_degree_tests_):
+        key = tr.challenge_bytes(enc.LABEL_DT, 32)
+        rng = ChaCha20Rng(key)
+        rand_tensor = field_random_vec(spec, rng, comm.n_rows)
+        p_random = _collapse(ops, comm.coeffs, rand_tensor)
+        for v in p_random:
+            tr.append_message(enc.LABEL_PR, spec.to_repr(v))
+        p_random_vec.append(p_random)
+
+    p_eval = _collapse(ops, comm.coeffs, outer_tensor)
+    for v in p_eval:
+        tr.append_message(enc.LABEL_PE, spec.to_repr(v))
+
+    n_col_opens = enc.get_n_col_opens()
+    key = tr.challenge_bytes(enc.LABEL_CO, 32)
+    cols_rng = ChaCha20Rng(key)
+    cols_to_open = uniform_indices(comm.n_cols, cols_rng, n_col_opens)
+    columns = _open_columns(comm, cols_to_open)
+
+    return LcEvalProof(
+        n_cols=comm.n_cols,
+        p_eval=p_eval,
+        p_random_vec=p_random_vec,
+        columns=columns,
+    )
+
+
+# ---------------------------------------------------------------------------
+# verify (lib.rs:832-1000)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _merkle_pair(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.concatenate([left, right], axis=0)
+    cv = jnp.broadcast_to(
+        jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None], left.shape
+    )
+    return blake3_jax._compress_words(
+        cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
+        jnp.uint32(blake3_jax.CHUNK_START | blake3_jax.CHUNK_END | blake3_jax.ROOT),
+    )
+
+
+def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
+           proof: LcEvalProof, enc: LcEncoding, tr: Transcript) -> int:
+    """Verify an evaluation proof; returns the evaluation (lib.rs:832-952)."""
+    spec = enc.spec
+    ops = get_ops(spec)
+
+    n_col_opens = enc.get_n_col_opens()
+    if n_col_opens != len(proof.columns) or n_col_opens == 0:
+        raise VerifierError("NumColOpens")
+    n_rows = proof.columns[0].col_mont.shape[1]
+    n_cols = proof.get_n_cols()
+    n_per_row = proof.get_n_per_row()
+    if len(inner_tensor) != n_per_row:
+        raise VerifierError("InnerTensor")
+    if len(outer_tensor) != n_rows:
+        raise VerifierError("OuterTensor")
+    if not enc.dims_ok(n_per_row, n_cols):
+        raise VerifierError("EncodingDims")
+
+    # step 1: re-derive degree-test tensors; encode p_random rows
+    n_degree_tests_ = enc.get_n_degree_tests()
+    rand_tensors: list[list[int]] = []
+    p_random_fft: list[jnp.ndarray] = []
+    for i in range(n_degree_tests_):
+        key = tr.challenge_bytes(enc.LABEL_DT, 32)
+        rng = ChaCha20Rng(key)
+        rand_tensors.append(field_random_vec(spec, rng, n_rows))
+
+        row = ops.encode_host(proof.p_random_vec[i])  # (W, n_per_row) Montgomery
+        enc_row = enc.encode_rows(row[:, None, :])[:, 0, :]  # (W, n_cols)
+        p_random_fft.append(enc_row)
+
+        for v in proof.p_random_vec[i]:
+            tr.append_message(enc.LABEL_PR, spec.to_repr(v))
+
+    for v in proof.p_eval:
+        tr.append_message(enc.LABEL_PE, spec.to_repr(v))
+
+    key = tr.challenge_bytes(enc.LABEL_CO, 32)
+    cols_rng = ChaCha20Rng(key)
+    cols_to_open = uniform_indices(n_cols, cols_rng, n_col_opens)
+
+    # step 2: p_eval encoding
+    row = ops.encode_host(proof.p_eval)
+    p_eval_fft = enc.encode_rows(row[:, None, :])[:, 0, :]  # (W, n_cols)
+
+    # step 3: batched column checks
+    col_mat = jnp.asarray(
+        np.stack([c.col_mont for c in proof.columns], axis=2)
+    )  # (W, n_rows, k)
+    idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
+
+    # 3a: degree-test dot products
+    for i in range(n_degree_tests_):
+        t = ops.encode_host(rand_tensors[i])  # (W, n_rows)
+        got = ops.dot_mont(t[:, :, None], col_mat, axis=1)  # (W, k)
+        want = jnp.take(p_random_fft[i], idx, axis=1)
+        if not bool(jnp.all(ops.sub(got, want) == 0)):
+            raise VerifierError("ColumnDegree")
+
+    # 3b: eval dot products
+    t = ops.encode_host(outer_tensor)
+    got = ops.dot_mont(t[:, :, None], col_mat, axis=1)
+    want = jnp.take(p_eval_fft, idx, axis=1)
+    if not bool(jnp.all(ops.sub(got, want) == 0)):
+        raise VerifierError("ColumnEval")
+
+    # 3c: Merkle paths — batched path walk across opened columns
+    canon = ops.from_mont(col_mat)  # (W, n_rows, k)
+    words = _pack_words(ops, canon)
+    digs = blake3_jax.hash_word_columns(words)  # (8, k)
+    path_len = len(proof.columns[0].path)
+    col_bits = np.asarray(cols_to_open, dtype=np.int64)
+    for lvl in range(path_len):
+        sibs = blake3_jax.bytes_to_digests(
+            np.stack([np.frombuffer(c.path[lvl], dtype=np.uint8)
+                      for c in proof.columns])
+        )
+        sibs = jnp.asarray(sibs)
+        is_right = jnp.asarray((col_bits >> lvl) & 1, dtype=jnp.bool_)
+        left = jnp.where(is_right, sibs, digs)
+        right = jnp.where(is_right, digs, sibs)
+        digs = _merkle_pair(left, right)
+    roots = blake3_jax.digests_to_bytes(digs)
+    if not all(bytes(roots[i]) == root for i in range(len(proof.columns))):
+        raise VerifierError("ColumnPath")
+
+    # step 4: evaluation
+    acc = 0
+    for t_v, e_v in zip(inner_tensor, proof.p_eval):
+        acc = (acc + t_v * e_v) % spec.p
+    return acc

@@ -1,0 +1,135 @@
+"""bincode-compatible wire serialization for proofs, roots, and commitments.
+
+Byte-level mirror of the reference's serde layer (lcpc-2d/src/lib.rs:186-268,
+352-397,430-487,536-609) under bincode 1.3's default config (little-endian,
+fixed-width ints):
+
+- `usize` -> u64 LE;
+- `Vec<T>` -> u64 count + items;
+- field element -> the ff-derive serde form: the *Montgomery* limb array as
+  L u64s LE (the derive serializes the internal repr, not to_repr());
+- `WrappedOutput` (digest) -> serde_bytes: u64 len + raw bytes.
+
+Because our device Montgomery form equals ff's (16*W == 64*L), a field
+element's wire bytes are exactly the little-endian bytes of its 16-bit limb
+vector, so bulk column serialization is a numpy repack.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..fields.spec import FieldSpec
+from .protocol import LcColumn, LcEvalProof
+
+
+def _u64(n: int) -> bytes:
+    return struct.pack("<Q", n)
+
+
+def _felem(spec: FieldSpec, v: int) -> bytes:
+    return spec.to_mont(v).to_bytes(spec.repr_bytes, "little")
+
+
+def _felem_vec(spec: FieldSpec, vals: list[int]) -> bytes:
+    return _u64(len(vals)) + b"".join(_felem(spec, v) for v in vals)
+
+
+def _col_mont_bytes(col_mont: np.ndarray) -> bytes:
+    """(W, R) u32 16-bit limbs -> R elements' wire bytes (Montgomery LE)."""
+    w, r = col_mont.shape
+    u16 = np.asarray(col_mont, dtype=np.uint32).T.astype("<u2")  # (R, W)
+    return u16.tobytes()
+
+
+def _digest(b: bytes) -> bytes:
+    return _u64(len(b)) + b
+
+
+def serialize_proof(spec: FieldSpec, proof: LcEvalProof) -> bytes:
+    out = [_u64(proof.n_cols)]
+    out.append(_felem_vec(spec, proof.p_eval))
+    out.append(_u64(len(proof.p_random_vec)))
+    for row in proof.p_random_vec:
+        out.append(_felem_vec(spec, row))
+    out.append(_u64(len(proof.columns)))
+    for col in proof.columns:
+        n_rows = col.col_mont.shape[1]
+        out.append(_u64(n_rows))
+        out.append(_col_mont_bytes(col.col_mont))
+        out.append(_u64(len(col.path)))
+        for p in col.path:
+            out.append(_digest(p))
+    return b"".join(out)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u64(self) -> int:
+        (v,) = struct.unpack_from("<Q", self.data, self.pos)
+        self.pos += 8
+        return v
+
+    def take(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        assert len(b) == n, "truncated"
+        self.pos += n
+        return b
+
+
+def _read_felem_vec(spec: FieldSpec, r: _Reader) -> list[int]:
+    n = r.u64()
+    out = []
+    for _ in range(n):
+        m = int.from_bytes(r.take(spec.repr_bytes), "little")
+        assert m < spec.p, "non-canonical field element"
+        out.append(spec.from_mont(m))
+    return out
+
+
+def deserialize_proof(spec: FieldSpec, data: bytes) -> LcEvalProof:
+    r = _Reader(data)
+    n_cols = r.u64()
+    p_eval = _read_felem_vec(spec, r)
+    n_pr = r.u64()
+    p_random_vec = [_read_felem_vec(spec, r) for _ in range(n_pr)]
+    n_columns = r.u64()
+    columns = []
+    w = spec.w16
+    for _ in range(n_columns):
+        n_rows = r.u64()
+        raw = r.take(n_rows * spec.repr_bytes)
+        u16 = np.frombuffer(raw, dtype="<u2").reshape(n_rows, w)
+        col_mont = np.ascontiguousarray(u16.T).astype(np.uint32)
+        n_path = r.u64()
+        path = []
+        for _ in range(n_path):
+            ln = r.u64()
+            path.append(r.take(ln))
+        columns.append(LcColumn(col_mont=col_mont, path=path))
+    assert r.pos == len(data), "trailing bytes"
+    return LcEvalProof(
+        n_cols=n_cols, p_eval=p_eval, p_random_vec=p_random_vec, columns=columns
+    )
+
+
+def serialize_root(root: bytes) -> bytes:
+    return _digest(root)
+
+
+def deserialize_root(data: bytes) -> bytes:
+    r = _Reader(data)
+    ln = r.u64()
+    out = r.take(ln)
+    assert r.pos == len(data)
+    return out
+
+
+def proof_size_bytes(spec: FieldSpec, proof: LcEvalProof) -> int:
+    """Size of the bincode encoding (comparable to BASELINE proof sizes)."""
+    return len(serialize_proof(spec, proof))

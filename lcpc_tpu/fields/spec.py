@@ -91,6 +91,12 @@ class FieldSpec:
         """-p^{-1} mod 2^64 (host/u64 CIOS constant)."""
         return (-pow(self.p, -1, 1 << 64)) % (1 << 64)
 
+    @cached_property
+    def n0inv_full(self) -> int:
+        """-p^{-1} mod R (full-width Montgomery constant, R = 2^(16*w16))."""
+        r = 1 << (16 * self.w16)
+        return (-pow(self.p, -1, r)) % r
+
     # ---- 2-adicity / roots of unity (NTT) --------------------------------------
     @cached_property
     def s(self) -> int:

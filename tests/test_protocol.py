@@ -1,0 +1,137 @@
+"""End-to-end protocol tests: device path vs serial twin, evaluation
+correctness, transcript continuity, tamper rejection.
+
+Mirrors the reference's e2e choreography (lcpc-ligero-pc/src/tests.rs:216-312)
+including the transcript preamble and the univariate tensor convention.
+"""
+
+import random
+
+import pytest
+
+from lcpc_tpu.core import protocol
+from lcpc_tpu.core import reference_impl as ref
+from lcpc_tpu.encodings.ligero import LigeroEncoding
+from lcpc_tpu.fields import FT63
+from lcpc_tpu.fs.merlin import Transcript
+from lcpc_tpu.fs.chacha import ChaCha20Rng
+
+
+def _tensors_for_eval(spec, x, n_per_row, n_rows):
+    inner = [pow(x, i, spec.p) for i in range(n_per_row)]
+    xr = (x * inner[-1]) % spec.p
+    outer = [pow(xr, i, spec.p) for i in range(n_rows)]
+    return inner, outer
+
+
+def _preamble(enc, root):
+    tr = Transcript(b"test transcript")
+    tr.append_message(b"polycommit", root)
+    tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
+    return tr
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = FT63
+    rng = random.Random(99)
+    length = 300
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+    enc = LigeroEncoding.new(spec, length)
+    return spec, coeffs, enc
+
+
+def test_end_to_end_device(setup):
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    root = comm.get_root()
+
+    x = random.Random(3).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, comm.n_per_row, comm.n_rows)
+
+    tr1 = _preamble(enc, root)
+    pf = comm.prove(outer, tr1)
+
+    tr2 = _preamble(enc, root)
+    enc2 = LigeroEncoding.new_from_dims(spec, pf.get_n_per_row(), pf.get_n_cols())
+    got = pf.verify(root, outer, inner, enc2, tr2)
+
+    # the verified evaluation equals the polynomial evaluated at x
+    want = 0
+    for i, c in enumerate(coeffs):
+        want = (want + c * pow(x, i, spec.p)) % spec.p
+    assert got == want
+
+
+def test_device_matches_serial_twin(setup):
+    spec, coeffs, enc = setup
+    dev = protocol.commit(coeffs, enc)
+    srl = ref.ref_commit(coeffs, enc)
+
+    assert dev.get_root() == srl.get_root()
+    assert [bytes(h) for h in dev.hashes] == srl.hashes
+
+    x = random.Random(4).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, dev.n_per_row, dev.n_rows)
+
+    pf_dev = dev.prove(outer, _preamble(enc, dev.get_root()))
+    pf_srl = ref.ref_prove(srl, outer, enc, _preamble(enc, srl.get_root()))
+
+    assert pf_dev.p_eval == pf_srl.p_eval
+    assert pf_dev.p_random_vec == pf_srl.p_random_vec
+    assert len(pf_dev.columns) == len(pf_srl.columns)
+    from lcpc_tpu.ops.limbs import get_ops
+
+    ops = get_ops(spec)
+    for cd, cs in zip(pf_dev.columns, pf_srl.columns):
+        assert ops.decode_host(cd.col_mont) == cs.col
+        assert cd.path == cs.path
+
+    got_srl = ref.ref_verify(
+        srl.get_root(), outer, inner, pf_srl, enc, _preamble(enc, srl.get_root())
+    )
+    got_dev = pf_dev.verify(
+        dev.get_root(), outer, inner, enc, _preamble(enc, dev.get_root())
+    )
+    assert got_dev == got_srl
+
+
+def test_transcript_continuity(setup):
+    # two proofs over one transcript leave prover and verifier in identical
+    # states (tests.rs:324-420)
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    root = comm.get_root()
+    x = random.Random(5).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, comm.n_per_row, comm.n_rows)
+
+    tr1 = _preamble(enc, root)
+    pf = comm.prove(outer, tr1)
+    chal_prover = tr1.challenge_bytes(b"ligero-pc//challenge", 32)
+
+    tr2 = _preamble(enc, root)
+    pf.verify(root, outer, inner, enc, tr2)
+    chal_verifier = tr2.challenge_bytes(b"ligero-pc//challenge", 32)
+    assert chal_prover == chal_verifier
+
+
+def test_tamper_rejection(setup):
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    root = comm.get_root()
+    x = random.Random(6).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, comm.n_per_row, comm.n_rows)
+
+    pf = comm.prove(outer, _preamble(enc, root))
+    # corrupt one column element
+    pf.columns[0].col_mont = pf.columns[0].col_mont.copy()
+    pf.columns[0].col_mont[0, 0] ^= 1
+    with pytest.raises(protocol.VerifierError):
+        pf.verify(root, outer, inner, enc, _preamble(enc, root))
+
+    # wrong evaluation point fails the eval dot product
+    pf2 = comm.prove(outer, _preamble(enc, root))
+    bad_outer = list(outer)
+    bad_outer[0] = (bad_outer[0] + 1) % spec.p
+    with pytest.raises(protocol.VerifierError):
+        pf2.verify(root, bad_outer, inner, enc, _preamble(enc, root))
