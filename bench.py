@@ -1,0 +1,106 @@
+"""Benchmark driver: Ligero ft255 rho=1/4 commit on the real TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+
+vs_baseline compares against the reference's 64-core CPU numbers from
+BASELINE.md (rough_bench commit times, 20210807_64c_255bit_ligero_dfl.txt);
+values > 1 mean the TPU build is faster.  Details go to stderr.
+
+Config via env: LCPC_BENCH_LOGN (default 21), LCPC_BENCH_FIELD (ft255).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+# reference 64-core commit times (seconds) for Ligero rho=1/4 ft255
+BASELINE_64C = {13: 0.0149, 15: 0.0314, 17: 0.0949, 19: 0.245, 21: 0.646,
+                23: 1.92, 25: 5.73, 27: 21.6, 29: 94.6}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from lcpc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    from lcpc_tpu.fields import FIELDS_BY_NAME
+    from lcpc_tpu.encodings.ligero import LigeroEncoding
+    from lcpc_tpu.core import protocol
+    from lcpc_tpu.ops.limbs import get_ops
+
+    logn = int(os.environ.get("LCPC_BENCH_LOGN", "21"))
+    field = os.environ.get("LCPC_BENCH_FIELD", "ft255")
+    spec = FIELDS_BY_NAME[field]
+    ops = get_ops(spec)
+    n = 1 << logn
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}; field={field}; N=2^{logn}; rho=1/4")
+
+    enc = LigeroEncoding.new(spec, n, rho_num=1, rho_den=4)
+    n_rows, n_per_row, n_cols = enc.get_dims(n)
+    log(f"dims: {n_rows} x {n_per_row} -> {n_cols}")
+
+    # random coefficients generated directly on device: random 16-bit limbs
+    # reduced into the field by to_mont (distribution irrelevant for timing)
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 1 << 16, (ops.w, n), dtype=np.uint32)
+    coeffs = ops.to_mont(jax.device_put(raw))
+    jax.block_until_ready(coeffs)
+
+    # warm up compiles
+    t0 = time.time()
+    comm = protocol.commit(coeffs, enc)
+    jax.block_until_ready(comm.comm)
+    log(f"commit compile+1st: {time.time() - t0:.2f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        comm = protocol.commit(coeffs, enc)
+        _ = comm.get_root()  # includes the host transfer of the hash layers
+        times.append(time.time() - t0)
+    commit_s = sorted(times)[1]
+    log(f"commit times: {[f'{t:.3f}' for t in times]} -> median {commit_s:.3f}s")
+
+    # prove timing (stderr only for now)
+    from lcpc_tpu.fs.merlin import Transcript
+
+    x = 7
+    outer = [pow(x, i * n_per_row, spec.p) for i in range(n_rows)]
+    t0 = time.time()
+    tr = Transcript(b"test transcript")
+    tr.append_message(b"polycommit", comm.get_root())
+    tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
+    pf = comm.prove(outer, tr)
+    log(f"prove: {time.time() - t0:.3f}s "
+        f"(baseline 64c 2^21: 0.0187s; includes host transcript)")
+
+    from lcpc_tpu.core import wire
+
+    t0 = time.time()
+    blob = wire.serialize_proof(spec, pf)
+    log(f"proof size: {len(blob)} bytes (serialize {time.time() - t0:.2f}s)")
+
+    baseline = BASELINE_64C.get(logn)
+    vs = (baseline / commit_s) if baseline else None
+    print(json.dumps({
+        "metric": f"ligero_{field}_rho1-4_commit_2^{logn}",
+        "value": round(commit_s, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -468,6 +468,9 @@ class SdigEncoding(LcEncoding):
 
     def encode_rows(self, rows: jnp.ndarray) -> jnp.ndarray:
         if self._encode_jit is None:
+            # materialize the device matrices OUTSIDE the trace (constants
+            # cached on self must not be created inside jit)
+            self._device_mats()
             self._encode_jit = jax.jit(self._encode_rows_impl)
         return self._encode_jit(rows)
 
