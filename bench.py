@@ -78,13 +78,19 @@ def main():
 
     x = 7
     outer = [pow(x, i * n_per_row, spec.p) for i in range(n_rows)]
+
+    def run_prove():
+        tr = Transcript(b"test transcript")
+        tr.append_message(b"polycommit", comm.get_root())
+        tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
+        return comm.prove(outer, tr)
+
     t0 = time.time()
-    tr = Transcript(b"test transcript")
-    tr.append_message(b"polycommit", comm.get_root())
-    tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
-    pf = comm.prove(outer, tr)
-    log(f"prove: {time.time() - t0:.3f}s "
-        f"(baseline 64c 2^21: 0.0187s; includes host transcript)")
+    pf = run_prove()
+    log(f"prove compile+1st: {time.time() - t0:.3f}s")
+    t0 = time.time()
+    pf = run_prove()
+    log(f"prove warm: {time.time() - t0:.3f}s (baseline 64c 2^21: 0.0187s)")
 
     from lcpc_tpu.core import wire
 

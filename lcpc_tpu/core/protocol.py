@@ -193,15 +193,34 @@ def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding) -> L
 # ---------------------------------------------------------------------------
 
 
-def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]) -> list[int]:
-    """tensor (n_rows) . coeffs (n_rows x n_per_row) -> n_per_row canonical ints.
+def _canon_to_repr_rows(canon) -> np.ndarray:
+    """(W, n) canonical 16-bit limbs -> (n, 2W) uint8 LE reprs (to_repr)."""
+    arr = np.ascontiguousarray(
+        np.asarray(canon, dtype=np.uint32).T
+    ).astype("<u2")  # (n, W)
+    return np.ascontiguousarray(arr).view(np.uint8).reshape(arr.shape[0], -1)
+
+
+def _repr_rows_to_ints(rows: np.ndarray) -> list[int]:
+    return [int.from_bytes(rows[i].tobytes(), "little") for i in range(rows.shape[0])]
+
+
+def _ints_to_repr_rows(spec, vals: list[int]) -> np.ndarray:
+    buf = b"".join(spec.to_repr(v) for v in vals)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(len(vals), spec.repr_bytes)
+
+
+def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]):
+    """tensor (n_rows) . coeffs (n_rows x n_per_row): canonical (ints, reprs).
 
     The device computes sum_r tensor[r] * coeffs[r, :] with Montgomery dots
-    (collapse_columns, lib.rs:1095-1123).
+    (collapse_columns, lib.rs:1095-1123); returns the canonical values both
+    as Python ints and as packed repr rows for batch transcript appends.
     """
     t = ops.encode_host(tensor_vals)           # (W, R)
     prod = ops.dot_mont(t[:, :, None], coeffs_mat, axis=1)  # (W, n_per_row)
-    return ops.decode_host(ops.from_mont(prod), from_mont=False)
+    rows = _canon_to_repr_rows(ops.from_mont(prod))
+    return _repr_rows_to_ints(rows), rows
 
 
 def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
@@ -245,14 +264,12 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
         rng = ChaCha20Rng(key)
         rand_tensor = field_random_vec(spec, rng, comm.n_rows)
-        p_random = _collapse(ops, comm.coeffs, rand_tensor)
-        for v in p_random:
-            tr.append_message(enc.LABEL_PR, spec.to_repr(v))
+        p_random, rows = _collapse(ops, comm.coeffs, rand_tensor)
+        tr.append_elements(enc.LABEL_PR, rows)
         p_random_vec.append(p_random)
 
-    p_eval = _collapse(ops, comm.coeffs, outer_tensor)
-    for v in p_eval:
-        tr.append_message(enc.LABEL_PE, spec.to_repr(v))
+    p_eval, rows = _collapse(ops, comm.coeffs, outer_tensor)
+    tr.append_elements(enc.LABEL_PE, rows)
 
     n_col_opens = enc.get_n_col_opens()
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
@@ -317,11 +334,9 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         enc_row = enc.encode_rows(row[:, None, :])[:, 0, :]  # (W, n_cols)
         p_random_fft.append(enc_row)
 
-        for v in proof.p_random_vec[i]:
-            tr.append_message(enc.LABEL_PR, spec.to_repr(v))
+        tr.append_elements(enc.LABEL_PR, _ints_to_repr_rows(spec, proof.p_random_vec[i]))
 
-    for v in proof.p_eval:
-        tr.append_message(enc.LABEL_PE, spec.to_repr(v))
+    tr.append_elements(enc.LABEL_PE, _ints_to_repr_rows(spec, proof.p_eval))
 
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
     cols_rng = ChaCha20Rng(key)

@@ -94,22 +94,76 @@ def _encode_usize_as_u32(n: int) -> bytes:
 
 
 class Transcript:
-    """merlin::Transcript equivalent."""
+    """merlin::Transcript equivalent.
+
+    Uses the native C STROBE (lcpc_tpu/utils/native.py) when available — the
+    transcript sits on the prove/verify critical path with O(n_per_row)
+    appends — and falls back to the pure-Python Strobe128 twin.  Both are
+    byte-identical (tested in tests/test_native.py).
+    """
 
     def __init__(self, label: bytes):
-        self.strobe = Strobe128(b"Merlin v1.0")
+        from ..utils import native as _native
+
+        lib = _native.get_lib()
+        if lib is not None:
+            import ctypes
+
+            self._lib = lib
+            self._st = ctypes.create_string_buffer(208)
+            lib.lcpc_strobe_init(self._st, self._u8(b"Merlin v1.0"), 11)
+            self.strobe = None
+        else:
+            self._lib = None
+            self.strobe = Strobe128(b"Merlin v1.0")
         self.append_message(b"dom-sep", label)
 
+    @staticmethod
+    def _u8(b: bytes):
+        import ctypes
+
+        return ctypes.c_char_p(b)
+
     def append_message(self, label: bytes, message: bytes) -> None:
+        if self._lib is not None:
+            self._lib.lcpc_transcript_append(
+                self._st, self._u8(label), len(label),
+                self._u8(message), len(message),
+            )
+            return
         # the length is a continuation (more=True) of the label's meta-AD op
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(_encode_usize_as_u32(len(message)), True)
         self.strobe.ad(message, False)
 
+    def append_elements(self, label: bytes, rows: "np.ndarray") -> None:
+        """Batch-append equal-size messages: rows is (n, esize) uint8."""
+        import numpy as np
+
+        rows = np.ascontiguousarray(rows, dtype=np.uint8)
+        n, esize = rows.shape
+        if self._lib is not None:
+            self._lib.lcpc_transcript_append_batch(
+                self._st, self._u8(label), len(label),
+                rows.ctypes.data, esize, n,
+            )
+            return
+        for i in range(n):
+            self.append_message(label, rows[i].tobytes())
+
     def append_u64(self, label: bytes, x: int) -> None:
         self.append_message(label, x.to_bytes(8, "little"))
 
     def challenge_bytes(self, label: bytes, n: int) -> bytes:
+        if self._lib is not None:
+            import ctypes
+
+            out = ctypes.create_string_buffer(n)
+            self._lib.lcpc_transcript_challenge(
+                self._st, self._u8(label), len(label),
+                ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), n,
+            )
+            return out.raw[:n]
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(_encode_usize_as_u32(n), True)
         return self.strobe.prf(n, False)
