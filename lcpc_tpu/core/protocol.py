@@ -172,9 +172,11 @@ def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding) -> L
     n_cols_np2 = _next_pow2(n_cols)
     layers = _hash_and_merkleize(ops, comm_mat, n_cols_np2)
 
-    # flatten layers to the reference's hashes vec (leaves first)
-    parts = [blake3_jax.digests_to_bytes(l) for l in layers]
-    hashes = np.concatenate(parts, axis=0)
+    # flatten layers to the reference's hashes vec (leaves first); concat on
+    # device and transfer once (per-layer host pulls are latency-bound over
+    # the device link)
+    flat = jnp.concatenate(layers, axis=1)  # (8, 2*np2-1)
+    hashes = blake3_jax.digests_to_bytes(flat)
     assert hashes.shape[0] == 2 * n_cols_np2 - 1
 
     return LcCommit(
