@@ -1,0 +1,309 @@
+"""MXU-accelerated NTT: 4-step decomposition with int8 limb convolutions.
+
+The radix-2 VPU ladder (ops/ntt.py) is already at VPU speed-of-light, so the
+only way to go faster on TPU is to move the modular multiply-accumulate onto
+the MXU.  This module implements the classic 4-step NTT n = A*B:
+
+    step1: DFT_A along the major axis  (matmul vs an A x A twiddle matrix)
+    step2: elementwise twiddle multiply (VPU modmul)
+    step3: DFT_B along the minor axis  (matmul vs a B x B matrix)
+
+with all bit-reversals baked into the matrices so the output ordering equals
+fft_io's (out[rev(k)] = X_k), making this a drop-in replacement for
+BatchedNtt (twin-tested in tests/test_mxu_ntt.py).
+
+Big-field elements are decomposed into 7-bit digits stored as int8 (values
+< 128, so no zero-point corrections), and each modular matmul runs as ONE
+int8 x int8 -> int32 `lax.conv_general_dilated`: the conv's channel
+contraction is the DFT sum and its spatial axis is the digit convolution
+(measured ~110 int8-Tops on v5e, ~100x the VPU's effective modmul rate).
+The wide digit-plane accumulator is Montgomery-reduced in base 2^7 with an
+extended radix R7 = 2^(7*(W7+1)) so a single conditional subtract suffices
+even after accumulating A <= 1024 products; the mullo/mul-by-p steps of the
+separated reduction are themselves int8 Toeplitz matmuls on the MXU, leaving
+only digit repacks and carries on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.spec import FieldSpec
+from .limbs import get_ops, MASK16
+from .ntt import bit_reverse_indices
+
+
+def _digits7(value: int, count: int) -> np.ndarray:
+    return np.array([(value >> (7 * i)) & 0x7F for i in range(count)], dtype=np.int8)
+
+
+def _pick_ab(n: int) -> tuple[int, int]:
+    """Split n = A*B with A, B powers of two, as balanced as possible."""
+    log = n.bit_length() - 1
+    a = 1 << (log // 2 + log % 2)
+    return a, n // a
+
+
+class MxuNttPlan:
+    def __init__(self, spec: FieldSpec, n: int):
+        assert n & (n - 1) == 0 and n >= 4
+        self.spec = spec
+        self.n = n
+        self.a, self.b = _pick_ab(n)
+        assert self.a <= 1024, "single-level contraction capped at 1024"
+        self.ops = get_ops(spec)
+        p = spec.p
+
+        self.w7 = (spec.num_bits + 6) // 7          # digits per element
+        # extended reduction radix: need A * p^2 / 2^(7*W7r) < p so one
+        # conditional subtract suffices after accumulating A products
+        need_bits = spec.num_bits + (self.a.bit_length() - 1) + 1
+        self.w7r = max(self.w7 + 1, (need_bits + 6) // 7)
+        r7 = 1 << (7 * self.w7r)
+        self.n0inv7 = (-pow(p, -1, r7)) % r7        # -p^-1 mod 2^(7*W7r)
+        # matrix entries carry factor r7 so the reduction (divide by r7)
+        # preserves the standard Montgomery factor R of the inputs
+        self.kscale = r7 % p
+
+        w_n = spec.root_for_log_len(n.bit_length() - 1)
+        w_a = pow(w_n, self.b, p)
+        w_b = pow(w_n, self.a, p)
+        rev_a = bit_reverse_indices(self.a)
+        rev_b = bit_reverse_indices(self.b)
+
+        # step1 kernel: K[u, jA] = w_a^(rev_a(u)*jA) * kscale, as int8 digits
+        self.k1 = self._dft_kernel(w_a, self.a, rev_a)
+        # step3 kernel over jB
+        self.k2 = self._dft_kernel(w_b, self.b, rev_b)
+        # twiddles tw[u, jB] = w_n^(rev_a(u)*jB) in standard Montgomery form
+        tw = np.empty((self.a, self.b), dtype=object)
+        for u in range(self.a):
+            e = int(rev_a[u])
+            base = pow(w_n, e, p)
+            acc = 1
+            for jb in range(self.b):
+                tw[u, jb] = (acc * spec.R) % p
+                acc = (acc * base) % p
+        tw_limbs = np.zeros((self.ops.w, self.a, self.b), dtype=np.uint32)
+        for i in range(self.ops.w):
+            for u in range(self.a):
+                for jb in range(self.b):
+                    tw_limbs[i, u, jb] = (int(tw[u, jb]) >> (16 * i)) & 0xFFFF
+        self.tw = tw_limbs
+
+        # Toeplitz matrices for the separated base-2^7 Montgomery reduction
+        w7, w7r = self.w7, self.w7r
+        n0d = _digits7(self.n0inv7, w7r)
+        # wide digit count: covers T < A*p^2 and S = T + m*p
+        self.lt = max(2 * w7 + 6, w7r + w7 + 2)
+        # mullo: m[o] = sum_u T[u] * n0[o-u], o < w7r  -> (w7r, w7r)
+        m1 = np.zeros((w7r, w7r), dtype=np.int8)
+        for u in range(w7r):
+            for o in range(u, w7r):
+                m1[u, o] = n0d[o - u]
+        self.toep_n0 = m1
+        # mp: planes[o] = sum_u m[u] * p7[o-u] -> (w7r, w7r + w7)
+        p7 = _digits7(p, w7)
+        m2 = np.zeros((w7r, w7r + w7), dtype=np.int8)
+        for u in range(w7r):
+            for o in range(u, min(u + w7, w7r + w7)):
+                m2[u, o] = p7[o - u]
+        self.toep_p = m2
+        self.p7 = p7
+
+    def _dft_kernel(self, w_root: int, size: int, rev: np.ndarray) -> np.ndarray:
+        """(W7, size_in, size_out) int8 digit kernel, spatial axis flipped so
+        conv's correlation computes the digit convolution."""
+        p = self.spec.p
+        k = np.zeros((self.w7, size, size), dtype=np.int8)
+        for u in range(size):
+            e = int(rev[u])
+            val = 1
+            w_row = pow(w_root, e, p)
+            for j in range(size):
+                entry = (val * self.kscale) % p
+                k[:, j, u] = _digits7(entry, self.w7)
+                val = (val * w_row) % p
+        # flip spatial so that out[o] = sum_{dv+du=o} x_dv * k_du
+        return k[::-1].copy()
+
+
+def _to7(x16: jnp.ndarray, w7: int) -> jnp.ndarray:
+    """(W16, ...) u32 16-bit limbs -> (..., W7) int8 digits (digit axis LAST)."""
+    w16 = x16.shape[0]
+    outs = []
+    zero = jnp.zeros_like(x16[0])
+    for k in range(w7):
+        bitpos = 7 * k
+        j, r = divmod(bitpos, 16)
+        lo = x16[j] >> jnp.uint32(r)
+        hi = (x16[j + 1] << jnp.uint32(16 - r)) if (r > 9 and j + 1 < w16) else zero
+        outs.append(((lo | hi) & jnp.uint32(0x7F)).astype(jnp.int8))
+    return jnp.stack(outs, axis=-1)
+
+
+def _from7(d7: jnp.ndarray, w16: int) -> jnp.ndarray:
+    """(..., W7) clean 7-bit digits (uint32) -> (W16, ...) 16-bit limbs."""
+    w7 = d7.shape[-1]
+    cols = [None] * (w16 + 2)
+    for k in range(w7):
+        bitpos = 7 * k
+        j, r = divmod(bitpos, 16)
+        v = d7[..., k].astype(jnp.uint32) << jnp.uint32(r)
+        lo = v & MASK16
+        hi = v >> 16
+        cols[j] = lo if cols[j] is None else cols[j] + lo
+        if j + 1 < len(cols):
+            cols[j + 1] = hi if cols[j + 1] is None else cols[j + 1] + hi
+    out = []
+    carry = None
+    for j in range(w16):
+        c = cols[j] if cols[j] is not None else jnp.zeros_like(d7[..., 0], dtype=jnp.uint32)
+        if carry is not None:
+            c = c + carry
+        out.append(c & MASK16)
+        carry = c >> 16
+    return jnp.stack(out, axis=0)
+
+
+def _carry7(planes: jnp.ndarray, out_digits: int) -> jnp.ndarray:
+    """(..., K) int32/uint32 digit planes -> (..., out_digits) clean digits."""
+    k = planes.shape[-1]
+    out = []
+    carry = None
+    for i in range(min(k, out_digits)):
+        c = planes[..., i].astype(jnp.uint32)
+        if carry is not None:
+            c = c + carry
+        out.append(c & jnp.uint32(0x7F))
+        carry = c >> 7
+    for i in range(k, out_digits):
+        if carry is None:
+            out.append(jnp.zeros_like(out[0]))
+        else:
+            out.append(carry & jnp.uint32(0x7F))
+            carry = carry >> 7
+    return jnp.stack(out[:out_digits], axis=-1)
+
+
+def _conv_digits(x7: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """x7 (batch, C_in, W7) int8, kernel (W7, C_in, C_out) -> planes
+    (batch, C_out, 2*W7-1) int32 of digit-convolved contraction."""
+    w7 = kernel.shape[0]
+    x = jnp.swapaxes(x7, 1, 2)  # (batch, W7, C) NWC
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1,),
+        padding=[(w7 - 1, w7 - 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32,
+    )  # (batch, 2*W7-1, C_out)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _matmul_toep(digits: jnp.ndarray, toep: np.ndarray) -> jnp.ndarray:
+    """(..., K) int8/uint32 digits @ (K, M) int8 Toeplitz -> (..., M) int32."""
+    d = digits.astype(jnp.int8)
+    return jax.lax.dot_general(
+        d, jnp.asarray(toep),
+        (((d.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+class MxuNtt:
+    """Drop-in MXU NTT (same semantics as BatchedNtt: fft_io ordering)."""
+
+    def __init__(self, spec: FieldSpec, n: int):
+        self.plan = MxuNttPlan(spec, n)
+        self.ops = self.plan.ops
+        # the big tables travel as jit ARGUMENTS (device-resident), not
+        # closed-over constants: closure constants are re-lowered per process
+        # with a device->host pull, which is minutes over a remote device link
+        self._k1 = jax.device_put(self.plan.k1)
+        self._k2 = jax.device_put(self.plan.k2)
+        self._tw = jax.device_put(np.swapaxes(self.plan.tw, 1, 2))  # (W,b,a)
+        self._fn = jax.jit(self._forward)
+
+    def _reduce(self, planes: jnp.ndarray) -> jnp.ndarray:
+        """Digit planes (..., 2W7-1) int32 -> clean Montgomery digits (..., W7).
+
+        Separated Montgomery reduction base 2^7 with radix 2^(7*W7r):
+        m = (T mod R7) * n0inv mod R7; S = T + m*p; out = S >> 7*W7r < 2p.
+        """
+        plan = self.plan
+        w7, w7r = plan.w7, plan.w7r
+        t = _carry7(planes, plan.lt)                       # clean wide digits
+        m_planes = _matmul_toep(t[..., :w7r], plan.toep_n0)
+        m = _carry7(m_planes, w7r)                         # m mod R7
+        mp = _matmul_toep(m, plan.toep_p)                  # (..., w7r + w7)
+        pad = plan.lt - (w7r + w7)
+        mp_wide = jnp.pad(mp, [(0, 0)] * (mp.ndim - 1) + [(0, pad)])
+        s = t.astype(jnp.uint32) + mp_wide.astype(jnp.uint32)
+        s = _carry7(s, plan.lt)
+        q = s[..., w7r : w7r + w7 + 1]                     # quotient digits (+top)
+        # conditional subtract p (digit-domain)
+        p7 = plan.p7.astype(np.uint32)
+        ge = None
+        eq = None
+        for i in range(q.shape[-1] - 1, -1, -1):
+            pi = jnp.uint32(int(p7[i]) if i < len(p7) else 0)
+            gti = q[..., i] > pi
+            eqi = q[..., i] == pi
+            if ge is None:
+                ge, eq = gti, eqi
+            else:
+                ge = ge | (eq & gti)
+                eq = eq & eqi
+        ge = ge | eq
+        outs = []
+        borrow = jnp.uint32(0)
+        for i in range(w7):
+            pi = jnp.uint32(int(p7[i]))
+            d = q[..., i] - pi - borrow
+            sub = d & jnp.uint32(0x7F)
+            borrow = (d >> 31) & jnp.uint32(1)
+            outs.append(jnp.where(ge, sub, q[..., i]))
+        return jnp.stack(outs, axis=-1)                    # (..., W7)
+
+    def _forward(self, x: jnp.ndarray, k1, k2, tw) -> jnp.ndarray:
+        """(W16, rows, n) Montgomery -> (W16, rows, n) fft_io output."""
+        plan = self.plan
+        ops = self.ops
+        a, b, w7 = plan.a, plan.b, plan.w7
+        w16, rows, n = x.shape
+
+        # -- step 1: DFT_A over the jA axis ---------------------------------
+        x7 = _to7(x, w7)                          # (rows, n, W7)
+        x7 = x7.reshape(rows, a, b, w7)
+        x7 = jnp.swapaxes(x7, 1, 2).reshape(rows * b, a, w7)
+        planes = _conv_digits(x7, k1)             # (rows*b, a, 2W7-1)
+        y7 = self._reduce(planes)                 # (rows*b, a, W7) digits
+
+        # -- step 2: twiddle multiply (VPU modmul in the 16-limb domain) ----
+        y16 = _from7(y7.reshape(rows, b, a, w7), w16)      # (W16, rows, b, a)
+        twb = jnp.broadcast_to(tw[:, None], y16.shape)     # [limb, jB, u]
+        z16 = ops.mul(y16, twb)
+
+        # -- step 3: DFT_B over the jB axis ---------------------------------
+        z7 = _to7(z16, w7)                        # (rows, b, a, W7)
+        z7 = jnp.swapaxes(z7, 1, 2).reshape(rows * a, b, w7)
+        planes = _conv_digits(z7, k2)             # (rows*a, b, 2W7-1)
+        o7 = self._reduce(planes)                 # (rows*a, b, W7)
+
+        # -- assemble: out[row, u*B + v] ------------------------------------
+        o16 = _from7(o7.reshape(rows, a, b, w7), w16)      # (W16, rows, a, b)
+        return o16.reshape(w16, rows, n)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.shape[-1] == self.plan.n
+        return self._fn(x, self._k1, self._k2, self._tw)
+
+
+@functools.lru_cache(maxsize=None)
+def get_mxu_ntt(spec: FieldSpec, n: int) -> MxuNtt:
+    return MxuNtt(spec, n)
