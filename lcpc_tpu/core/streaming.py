@@ -1,0 +1,336 @@
+"""Streaming commit: encode+hash by row blocks without materializing the
+codeword matrix.
+
+For large polynomials the encoded matrix exceeds HBM (2^26 coefficients over
+ft255 at rho=1/4 is a 17 GB codeword on a 16 GB chip), and the MXU NTT's
+digit-plane temporaries add ~5x transient pressure.  This module runs the
+commit pipeline over row blocks: each block is encoded and folded into
+per-column BLAKE3 chunk state, then discarded; only the coefficient matrix
+(needed by prove's collapse) and the Merkle array persist.  Proof generation
+re-encodes blocks and gathers just the opened columns.
+
+The column hash state is exact: BLAKE3 chunks never align with element rows
+(the 32-byte zero prefix shifts everything by 8 words), so the hasher keeps
+a carry buffer of sub-chunk words.  Choosing the row block so its word count
+is a multiple of the 256-word chunk keeps every update shape static (one
+compiled program for all blocks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fs.chacha import ChaCha20Rng
+from ..fs.merlin import Transcript
+from ..fs.sampling import field_random_vec, uniform_indices
+from ..ops import blake3_jax
+from ..ops.limbs import get_ops
+from .encoding import LcEncoding
+from .protocol import (
+    LcColumn,
+    LcEvalProof,
+    ProverError,
+    _collapse,
+    _next_pow2,
+    _open_columns,
+    _pack_words,
+)
+
+
+class StreamingColumnHasher:
+    """Per-column BLAKE3 over row blocks with a sub-chunk carry buffer."""
+
+    def __init__(self, n_cols: int, total_words: int):
+        self.n_cols = n_cols
+        self.total_words = total_words  # includes the 8-word zero prefix
+        self.n_chunks = max(1, (total_words + 255) // 256)
+        assert self.n_chunks > 1, "streaming hasher expects multi-chunk columns"
+        self.chunk_cvs = jnp.zeros((self.n_chunks, 8, n_cols), dtype=jnp.uint32)
+        self.cv = jnp.broadcast_to(
+            jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None], (8, n_cols)
+        )
+        self.buf = jnp.zeros((256, n_cols), dtype=jnp.uint32)
+        self.buf_len = 8  # the zero prefix
+        self.words_done = 0
+        self.chunks_done = 0
+        self._update_jit = {}
+
+    def _process(self, buf_len, n_full, chunks_done_static_unused):
+        """Build the jitted update for (buf_len, L) -> processes n_full chunks."""
+
+        def fn(cv, chunk_cvs, buf, words, chunks_done):
+            data = jnp.concatenate([buf[:buf_len], words], axis=0)
+            total = data.shape[0]
+            n_blocks = n_full * 16
+
+            def body(k, carry):
+                cv, ccvs = carry
+                pos = k % 16
+                cidx = chunks_done + k // 16
+                is_start = pos == 0
+                is_end = pos == 15
+                flags = (
+                    jnp.where(is_start, jnp.uint32(blake3_jax.CHUNK_START), jnp.uint32(0))
+                    | jnp.where(is_end, jnp.uint32(blake3_jax.CHUNK_END), jnp.uint32(0))
+                )
+                m = jax.lax.dynamic_slice(
+                    data, (k * 16, 0), (16, self.n_cols)
+                )
+                iv = jnp.broadcast_to(
+                    jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None],
+                    (8, self.n_cols),
+                )
+                cv_in = jnp.where(is_start, iv, cv)
+                out = blake3_jax._compress_words(
+                    cv_in, m, cidx.astype(jnp.uint32), jnp.uint32(0),
+                    jnp.uint32(64), flags,
+                )
+                ccvs = jax.lax.dynamic_update_slice(ccvs, out[None], (cidx, 0, 0))
+                return out, ccvs
+
+            cv, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (cv, chunk_cvs))
+            rem = total - n_full * 256
+            new_buf = jax.lax.dynamic_slice(
+                jnp.pad(data, [(0, 256), (0, 0)]), (n_full * 256, 0),
+                (256, self.n_cols),
+            )
+            return cv, chunk_cvs, new_buf
+
+        return jax.jit(fn)
+
+    def update(self, words: jnp.ndarray) -> None:
+        """words: (L, n_cols) u32 appended to every column's stream."""
+        l = words.shape[0]
+        total = self.buf_len + l
+        n_full = total // 256
+        # never consume the final chunk here; finalize() handles its flags
+        is_final = self.words_done + l + 8 == self.total_words
+        if is_final and total % 256 == 0 and n_full > 0:
+            n_full -= 1
+        key = (self.buf_len, l, n_full)
+        if key not in self._update_jit:
+            self._update_jit[key] = self._process(self.buf_len, n_full, None)
+        fn = self._update_jit[key]
+        self.cv, self.chunk_cvs, self.buf = fn(
+            self.cv, self.chunk_cvs, self.buf, words,
+            jnp.int32(self.chunks_done),
+        )
+        self.buf_len = total - n_full * 256
+        self.words_done += l
+        self.chunks_done += n_full
+
+    def finalize(self) -> jnp.ndarray:
+        """Process the final partial chunk and merge the chunk tree."""
+        assert self.words_done + 8 == self.total_words, (
+            self.words_done, self.total_words
+        )
+        rem_words = self.buf_len
+        assert rem_words > 0
+
+        def fin(cv, chunk_cvs, buf):
+            n_blocks = (rem_words + 15) // 16
+            last_len = (rem_words % 16) * 4 or 64
+
+            def body(k, carry):
+                # buf starts at a chunk boundary (update() keeps processed
+                # words 256-aligned), so block k of the final chunk is k
+                cv, ccvs = carry
+                is_last = k == n_blocks - 1
+                flags = (
+                    jnp.where(k == 0, jnp.uint32(blake3_jax.CHUNK_START), jnp.uint32(0))
+                    | jnp.where(is_last, jnp.uint32(blake3_jax.CHUNK_END), jnp.uint32(0))
+                )
+                blen = jnp.where(is_last, jnp.uint32(last_len), jnp.uint32(64))
+                m = jax.lax.dynamic_slice(buf, (k * 16, 0), (16, self.n_cols))
+                iv = jnp.broadcast_to(
+                    jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None],
+                    (8, self.n_cols),
+                )
+                cv_in = jnp.where(k == 0, iv, cv)
+                out = blake3_jax._compress_words(
+                    cv_in, m, jnp.uint32(self.chunks_done), jnp.uint32(0),
+                    blen, flags,
+                )
+                ccvs2 = jax.lax.dynamic_update_slice(
+                    ccvs, out[None], (self.chunks_done, 0, 0)
+                )
+                return out, ccvs2
+
+            cv, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (cv, chunk_cvs))
+            return chunk_cvs
+
+        chunk_cvs = jax.jit(fin)(self.cv, self.chunk_cvs, self.buf)
+        assert self.chunks_done + 1 == self.n_chunks
+
+        # merge chunk CVs (pair-adjacent == blake3's tree shape)
+        cvs = chunk_cvs
+        n = self.n_chunks
+        while n > 1:
+            pairs = n // 2
+            left = cvs[0 : 2 * pairs : 2]
+            right = cvs[1 : 2 * pairs : 2]
+            m = jnp.moveaxis(jnp.concatenate([left, right], axis=1), 1, 0)
+            cv = jnp.broadcast_to(
+                jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None, None],
+                (8, pairs, self.n_cols),
+            )
+            flags = blake3_jax.PARENT | (blake3_jax.ROOT if n == 2 else 0)
+            out = blake3_jax._compress_words(
+                cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
+                jnp.uint32(flags),
+            )
+            out = jnp.moveaxis(out, 1, 0)
+            if n % 2:
+                out = jnp.concatenate([out, cvs[2 * pairs : 2 * pairs + 1]], axis=0)
+            cvs = out
+            n = out.shape[0]
+        return cvs[0]
+
+
+@dataclasses.dataclass
+class LcCommitStreaming:
+    """Commit state without the codeword matrix (re-encoded on demand)."""
+
+    enc: LcEncoding
+    coeffs: jnp.ndarray  # (W, n_rows, n_per_row)
+    n_rows: int
+    n_per_row: int
+    n_cols: int
+    hashes: np.ndarray
+    row_block: int
+
+    def get_root(self) -> bytes:
+        return bytes(self.hashes[-1])
+
+    def get_n_rows(self) -> int:
+        return self.n_rows
+
+    def get_n_per_row(self) -> int:
+        return self.n_per_row
+
+    def get_n_cols(self) -> int:
+        return self.n_cols
+
+    def prove(self, outer_tensor: list[int], tr: Transcript) -> LcEvalProof:
+        return prove_streaming(self, outer_tensor, self.enc, tr)
+
+
+def _row_block_for(spec, n_rows: int, requested: int | None) -> int:
+    """Largest block <= requested whose per-column word count is 256-aligned."""
+    wpe = spec.w16 // 2
+    align = 256 // np.gcd(256, wpe)  # rows per 256-word boundary
+    rb = requested or max(align, min(n_rows, 2048))
+    rb = max(align, (rb // align) * align)
+    return rb
+
+
+def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None
+                     ) -> LcCommitStreaming:
+    ops = get_ops(enc.spec)
+    if isinstance(coeffs, list):
+        length = len(coeffs)
+        arr = jnp.asarray(ops.encode_host(coeffs))
+    else:
+        arr = jnp.asarray(coeffs)
+        length = arr.shape[1]
+
+    n_rows, n_per_row, n_cols = enc.get_dims(length)
+    assert enc.dims_ok(n_per_row, n_cols)
+    pad = n_rows * n_per_row - length
+    mat = jnp.pad(arr, [(0, 0), (0, pad)]).reshape(ops.w, n_rows, n_per_row)
+
+    wpe = enc.spec.w16 // 2
+    rb = _row_block_for(enc.spec, n_rows, row_block)
+    total_words = 8 + n_rows * wpe
+    hasher = StreamingColumnHasher(n_cols, total_words)
+
+    encode_pack = jax.jit(
+        lambda block: _pack_words(ops, ops.from_mont(enc.encode_rows(block)))
+    )
+
+    for r0 in range(0, n_rows, rb):
+        r1 = min(r0 + rb, n_rows)
+        words = encode_pack(mat[:, r0:r1, :])
+        hasher.update(words)
+
+    leaves = hasher.finalize()  # (8, n_cols)
+
+    n_cols_np2 = _next_pow2(n_cols)
+    if n_cols_np2 > n_cols:
+        leaves = jnp.pad(leaves, [(0, 0), (0, n_cols_np2 - n_cols)])
+    layers = [leaves]
+    while layers[-1].shape[1] > 1:
+        layers.append(blake3_jax.merkle_layer(layers[-1]))
+    flat = jnp.concatenate(layers, axis=1)
+    hashes = blake3_jax.digests_to_bytes(flat)
+
+    return LcCommitStreaming(
+        enc=enc, coeffs=mat, n_rows=n_rows, n_per_row=n_per_row,
+        n_cols=n_cols, hashes=hashes, row_block=rb,
+    )
+
+
+def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
+                    enc: LcEncoding, tr: Transcript) -> LcEvalProof:
+    spec = enc.spec
+    ops = get_ops(spec)
+    if len(outer_tensor) != comm.n_rows:
+        raise ProverError("outer tensor: wrong size")
+
+    p_random_vec: list[list[int]] = []
+    for _ in range(enc.get_n_degree_tests()):
+        key = tr.challenge_bytes(enc.LABEL_DT, 32)
+        rand_tensor = field_random_vec(spec, ChaCha20Rng(key), comm.n_rows)
+        p_random, rows = _collapse(ops, comm.coeffs, rand_tensor)
+        tr.append_elements(enc.LABEL_PR, rows)
+        p_random_vec.append(p_random)
+
+    p_eval, rows = _collapse(ops, comm.coeffs, outer_tensor)
+    tr.append_elements(enc.LABEL_PE, rows)
+
+    key = tr.challenge_bytes(enc.LABEL_CO, 32)
+    cols_to_open = uniform_indices(
+        comm.n_cols, ChaCha20Rng(key), enc.get_n_col_opens()
+    )
+
+    # re-encode by blocks, gathering only the opened columns
+    idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
+    gather = jax.jit(
+        lambda block: jnp.take(enc.encode_rows(block), idx, axis=2)
+    )
+    pieces = []
+    rb = comm.row_block
+    for r0 in range(0, comm.n_rows, rb):
+        r1 = min(r0 + rb, comm.n_rows)
+        pieces.append(np.asarray(gather(comm.coeffs[:, r0:r1, :])))
+    col_mat = np.concatenate(pieces, axis=1)  # (W, n_rows, k)
+
+    # merkle paths (same layout as the in-memory prover)
+    columns = []
+    n_cols_np2 = _next_pow2(comm.n_cols)
+    path_len = max(0, n_cols_np2.bit_length() - 1)
+    offsets = []
+    off = 0
+    size = n_cols_np2
+    while size >= 1:
+        offsets.append(off)
+        off += size
+        if size == 1:
+            break
+        size //= 2
+    for k, c in enumerate(cols_to_open):
+        path = []
+        cc = c
+        for lvl in range(path_len):
+            path.append(bytes(comm.hashes[offsets[lvl] + (cc ^ 1)]))
+            cc >>= 1
+        columns.append(LcColumn(col_mont=col_mat[:, :, k], path=path))
+
+    return LcEvalProof(
+        n_cols=comm.n_cols, p_eval=p_eval, p_random_vec=p_random_vec,
+        columns=columns,
+    )

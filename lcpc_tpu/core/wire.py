@@ -133,3 +133,76 @@ def deserialize_root(data: bytes) -> bytes:
 def proof_size_bytes(spec: FieldSpec, proof: LcEvalProof) -> int:
     """Size of the bincode encoding (comparable to BASELINE proof sizes)."""
     return len(serialize_proof(spec, proof))
+
+
+# ---------------------------------------------------------------------------
+# commitment (prover state) serialization — the reference's checkpoint/resume
+# analogue (full serde of LcCommit incl. both matrices, lib.rs:186-268)
+# ---------------------------------------------------------------------------
+
+
+def _mont_matrix_bytes(arr: np.ndarray) -> bytes:
+    """(W, R, C) u32 16-bit Montgomery limbs -> row-major element wire bytes."""
+    w, r, c = arr.shape
+    # element order: row-major over (R, C); limbs LE within each element
+    u16 = np.ascontiguousarray(
+        np.moveaxis(np.asarray(arr, dtype=np.uint32), 0, 2)
+    ).astype("<u2")  # (R, C, W)
+    return u16.tobytes()
+
+
+def serialize_commit(spec: FieldSpec, comm) -> bytes:
+    """bincode of WrappedLcCommit { comm, coeffs, n_rows, n_cols, n_per_row,
+    hashes } (lcpc-2d/src/lib.rs:186-197)."""
+    out = [
+        _u64(comm.n_rows * comm.n_cols),
+        _mont_matrix_bytes(np.asarray(comm.comm)),
+        _u64(comm.n_rows * comm.n_per_row),
+        _mont_matrix_bytes(np.asarray(comm.coeffs)),
+        _u64(comm.n_rows),
+        _u64(comm.n_cols),
+        _u64(comm.n_per_row),
+        _u64(comm.hashes.shape[0]),
+    ]
+    for i in range(comm.hashes.shape[0]):
+        out.append(_digest(bytes(comm.hashes[i])))
+    return b"".join(out)
+
+
+def deserialize_commit(spec: FieldSpec, data: bytes, enc):
+    """Rebuild an LcCommit (device arrays included) from serialize_commit."""
+    import jax.numpy as jnp
+
+    from .protocol import LcCommit
+
+    r = _Reader(data)
+    w = spec.w16
+
+    def read_matrix(count):
+        raw = r.take(count * spec.repr_bytes)
+        u16 = np.frombuffer(raw, dtype="<u2").reshape(count, w)
+        return np.ascontiguousarray(u16.T).astype(np.uint32)
+
+    n_comm = r.u64()
+    comm_flat = read_matrix(n_comm)
+    n_coeffs = r.u64()
+    coeffs_flat = read_matrix(n_coeffs)
+    n_rows = r.u64()
+    n_cols = r.u64()
+    n_per_row = r.u64()
+    n_hashes = r.u64()
+    hashes = np.empty((n_hashes, 32), dtype=np.uint8)
+    for i in range(n_hashes):
+        ln = r.u64()
+        hashes[i] = np.frombuffer(r.take(ln), dtype=np.uint8)
+    assert r.pos == len(data)
+    assert n_comm == n_rows * n_cols and n_coeffs == n_rows * n_per_row
+    return LcCommit(
+        enc=enc,
+        coeffs=jnp.asarray(coeffs_flat.reshape(w, n_rows, n_per_row)),
+        comm=jnp.asarray(comm_flat.reshape(w, n_rows, n_cols)),
+        n_rows=n_rows,
+        n_per_row=n_per_row,
+        n_cols=n_cols,
+        hashes=hashes,
+    )

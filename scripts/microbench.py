@@ -1,0 +1,102 @@
+"""Benchmark sweep in the reference's output format (scripts/microbench.sh).
+
+Emits `loglen: commit_ns` (rough_bench) and `loglen: prove_ns verify_ns
+proof_bytes` (prove_verify_size_bench) lines so results are directly
+comparable with doc/benchmark-results in the reference repo.
+
+Usage:
+    python scripts/microbench.py [--enc ligero|brakedown] [--field ft255]
+        [--rho 1/4] [--min 13] [--max 21] [--step 2] [--iters 3] [--pvs]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--enc", default="ligero", choices=["ligero", "brakedown"])
+    ap.add_argument("--field", default="ft255")
+    ap.add_argument("--rho", default="1/4")
+    ap.add_argument("--min", type=int, default=13)
+    ap.add_argument("--max", type=int, default=21)
+    ap.add_argument("--step", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--pvs", action="store_true",
+                    help="also run prove/verify/size lines")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from lcpc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    from lcpc_tpu.fields import FIELDS_BY_NAME
+    from lcpc_tpu.encodings.ligero import LigeroEncoding
+    from lcpc_tpu.encodings.brakedown import SdigEncoding
+    from lcpc_tpu.core import protocol, wire
+    from lcpc_tpu.fs.merlin import Transcript
+    from lcpc_tpu.ops.limbs import get_ops
+    from lcpc_tpu.utils.tensors import univariate_tensors
+
+    spec = FIELDS_BY_NAME[args.field]
+    ops = get_ops(spec)
+    rn, rd = (int(v) for v in args.rho.split("/"))
+
+    print(f"# device={jax.devices()[0]} enc={args.enc} field={args.field}",
+          file=sys.stderr, flush=True)
+
+    for lgl in range(args.min, args.max + 1, args.step):
+        n = 1 << lgl
+        rng = np.random.default_rng(args.seed)
+        raw = rng.integers(0, 1 << 16, (ops.w, n), dtype=np.uint32)
+        coeffs = ops.to_mont(jax.device_put(raw))
+        jax.block_until_ready(coeffs)
+        if args.enc == "ligero":
+            enc = LigeroEncoding.new(spec, n, rho_num=rn, rho_den=rd)
+        else:
+            enc = SdigEncoding.new(spec, n, seed=0)
+
+        # warm-up (compiles)
+        com = protocol.commit(coeffs, enc)
+        _ = com.get_root()
+        times = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            com = protocol.commit(coeffs, enc)
+            _ = com.get_root()
+            times.append(time.time() - t0)
+        commit_ns = int(sorted(times)[len(times) // 2] * 1e9)
+        print(f"{lgl}: {commit_ns}", flush=True)
+
+        if args.pvs:
+            outer, inner = univariate_tensors(
+                spec, 7, com.get_n_per_row(), com.get_n_rows()
+            )
+
+            def preamble():
+                tr = Transcript(b"test transcript")
+                tr.append_message(b"polycommit", com.get_root())
+                tr.append_message(
+                    b"ncols", enc.get_n_col_opens().to_bytes(8, "big")
+                )
+                return tr
+
+            pf = com.prove(outer, preamble())  # warm-up
+            t0 = time.time()
+            pf = com.prove(outer, preamble())
+            prove_ns = int((time.time() - t0) * 1e9)
+            blob = wire.serialize_proof(spec, pf)
+            pf.verify(com.get_root(), outer, inner, enc, preamble())  # warm
+            t0 = time.time()
+            pf.verify(com.get_root(), outer, inner, enc, preamble())
+            verify_ns = int((time.time() - t0) * 1e9)
+            print(f"{lgl}: {prove_ns} {verify_ns} {len(blob)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

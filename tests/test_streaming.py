@@ -1,0 +1,56 @@
+"""Streaming commit vs the in-memory path: identical roots, hashes, proofs."""
+
+import random
+
+import numpy as np
+import pytest
+
+from lcpc_tpu.core import protocol, streaming
+from lcpc_tpu.encodings.ligero import LigeroEncoding
+from lcpc_tpu.fields import FT63
+from lcpc_tpu.fs.merlin import Transcript
+from lcpc_tpu.utils.tensors import univariate_tensors
+
+
+def _preamble(enc, root):
+    tr = Transcript(b"test transcript")
+    tr.append_message(b"polycommit", root)
+    tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
+    return tr
+
+
+@pytest.mark.parametrize("row_block", [128, 256])
+def test_streaming_matches_inmemory(row_block):
+    spec = FT63
+    rng = random.Random(77)
+    # enough rows that several blocks and chunk-buffer carries occur:
+    # n_per_row=64, n_cols=128 -> 700 rows for length 44800
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 700 - 13
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+
+    mem = protocol.commit(coeffs, enc)
+    stream = streaming.commit_streaming(coeffs, enc, row_block=row_block)
+
+    assert stream.get_root() == mem.get_root()
+    assert np.array_equal(stream.hashes, mem.hashes)
+
+    x = rng.randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, mem.n_per_row, mem.n_rows)
+
+    pf_mem = mem.prove(outer, _preamble(enc, mem.get_root()))
+    pf_st = stream.prove(outer, _preamble(enc, stream.get_root()))
+    assert pf_st.p_eval == pf_mem.p_eval
+    assert pf_st.p_random_vec == pf_mem.p_random_vec
+    for a, b in zip(pf_st.columns, pf_mem.columns):
+        assert np.array_equal(a.col_mont, b.col_mont)
+        assert a.path == b.path
+
+    # and the streamed proof verifies through the standard verifier
+    got = pf_st.verify(
+        stream.get_root(), outer, inner, enc, _preamble(enc, stream.get_root())
+    )
+    want = 0
+    for i, c in enumerate(coeffs):
+        want = (want + c * pow(x, i, spec.p)) % spec.p
+    assert got == want
