@@ -164,9 +164,10 @@ def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding) -> L
     assert enc.dims_ok(n_per_row, n_cols)
 
     pad = n_rows * n_per_row - length
-    mat = jnp.pad(jnp.asarray(arr), [(0, 0), (0, pad)]).reshape(
-        ops.w, n_rows, n_per_row
-    )
+    arr = jnp.asarray(arr)
+    if pad:
+        arr = jnp.pad(arr, [(0, 0), (0, pad)])
+    mat = arr.reshape(ops.w, n_rows, n_per_row)
     comm_mat = enc.encode_rows(mat)  # (W, n_rows, n_cols)
 
     n_cols_np2 = _next_pow2(n_cols)

@@ -241,7 +241,9 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None
     n_rows, n_per_row, n_cols = enc.get_dims(length)
     assert enc.dims_ok(n_per_row, n_cols)
     pad = n_rows * n_per_row - length
-    mat = jnp.pad(arr, [(0, 0), (0, pad)]).reshape(ops.w, n_rows, n_per_row)
+    if pad:
+        arr = jnp.pad(arr, [(0, 0), (0, pad)])
+    mat = arr.reshape(ops.w, n_rows, n_per_row)
 
     wpe = enc.spec.w16 // 2
     rb = _row_block_for(enc.spec, n_rows, row_block)

@@ -80,20 +80,20 @@ class MxuNttPlan:
         # step3 kernel over jB
         self.k2 = self._dft_kernel(w_b, self.b, rev_b)
         # twiddles tw[u, jB] = w_n^(rev_a(u)*jB) in standard Montgomery form
-        tw = np.empty((self.a, self.b), dtype=object)
+        rbytes = spec.repr_bytes
+        buf = bytearray(self.a * self.b * rbytes)
+        pos = 0
         for u in range(self.a):
-            e = int(rev_a[u])
-            base = pow(w_n, e, p)
-            acc = 1
-            for jb in range(self.b):
-                tw[u, jb] = (acc * spec.R) % p
+            base = pow(w_n, int(rev_a[u]), p)
+            acc = spec.R % p
+            for _ in range(self.b):
+                buf[pos : pos + rbytes] = acc.to_bytes(rbytes, "little")
+                pos += rbytes
                 acc = (acc * base) % p
-        tw_limbs = np.zeros((self.ops.w, self.a, self.b), dtype=np.uint32)
-        for i in range(self.ops.w):
-            for u in range(self.a):
-                for jb in range(self.b):
-                    tw_limbs[i, u, jb] = (int(tw[u, jb]) >> (16 * i)) & 0xFFFF
-        self.tw = tw_limbs
+        u16 = np.frombuffer(bytes(buf), dtype="<u2").reshape(
+            self.a, self.b, self.ops.w
+        )
+        self.tw = np.ascontiguousarray(np.moveaxis(u16, 2, 0)).astype(np.uint32)
 
         # Toeplitz matrices for the separated base-2^7 Montgomery reduction
         w7, w7r = self.w7, self.w7r
@@ -119,17 +119,29 @@ class MxuNttPlan:
         """(W7, size_in, size_out) int8 digit kernel, spatial axis flipped so
         conv's correlation computes the digit convolution."""
         p = self.spec.p
-        k = np.zeros((self.w7, size, size), dtype=np.int8)
+        nbytes = (7 * self.w7 + 7) // 8 + 1
+        buf = bytearray(size * size * nbytes)
+        pos = 0
         for u in range(size):
-            e = int(rev[u])
-            val = 1
-            w_row = pow(w_root, e, p)
-            for j in range(size):
-                entry = (val * self.kscale) % p
-                k[:, j, u] = _digits7(entry, self.w7)
-                val = (val * w_row) % p
+            w_row = pow(w_root, int(rev[u]), p)
+            entry = self.kscale % p
+            for _ in range(size):
+                buf[pos : pos + nbytes] = entry.to_bytes(nbytes, "little")
+                pos += nbytes
+                entry = (entry * w_row) % p
+        raw = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(size, size, nbytes)
+        # extract 7-bit digits from the little-endian byte representation
+        k = np.zeros((self.w7, size, size), dtype=np.int8)
+        for d in range(self.w7):
+            bitpos = 7 * d
+            byte, sh = divmod(bitpos, 8)
+            lo = raw[:, :, byte].astype(np.uint16)
+            hi = raw[:, :, byte + 1].astype(np.uint16) if byte + 1 < nbytes else 0
+            k[d] = (((lo | (hi << 8)) >> sh) & 0x7F).astype(np.int8)
+        # k[d, u_row, j]? build as (W7, j_in, u_out): currently k[d, u, j]
+        k = np.swapaxes(k, 1, 2)
         # flip spatial so that out[o] = sum_{dv+du=o} x_dv * k_du
-        return k[::-1].copy()
+        return np.ascontiguousarray(k[::-1])
 
 
 def _to7(x16: jnp.ndarray, w7: int) -> jnp.ndarray:
@@ -171,7 +183,10 @@ def _from7(d7: jnp.ndarray, w16: int) -> jnp.ndarray:
 
 
 def _carry7(planes: jnp.ndarray, out_digits: int) -> jnp.ndarray:
-    """(..., K) int32/uint32 digit planes -> (..., out_digits) clean digits."""
+    """(..., K) int32/uint32 digit planes -> (..., out_digits) clean digits.
+
+    Output dtype is uint8: at streaming scale the stacked digit arrays are
+    the dominant transient (80 digits/element), so 4x matters."""
     k = planes.shape[-1]
     out = []
     carry = None
@@ -179,13 +194,13 @@ def _carry7(planes: jnp.ndarray, out_digits: int) -> jnp.ndarray:
         c = planes[..., i].astype(jnp.uint32)
         if carry is not None:
             c = c + carry
-        out.append(c & jnp.uint32(0x7F))
+        out.append((c & jnp.uint32(0x7F)).astype(jnp.uint8))
         carry = c >> 7
     for i in range(k, out_digits):
         if carry is None:
             out.append(jnp.zeros_like(out[0]))
         else:
-            out.append(carry & jnp.uint32(0x7F))
+            out.append((carry & jnp.uint32(0x7F)).astype(jnp.uint8))
             carry = carry >> 7
     return jnp.stack(out[:out_digits], axis=-1)
 
@@ -264,11 +279,12 @@ class MxuNtt:
         borrow = jnp.uint32(0)
         for i in range(w7):
             pi = jnp.uint32(int(p7[i]))
-            d = q[..., i] - pi - borrow
+            qi = q[..., i].astype(jnp.uint32)
+            d = qi - pi - borrow
             sub = d & jnp.uint32(0x7F)
             borrow = (d >> 31) & jnp.uint32(1)
-            outs.append(jnp.where(ge, sub, q[..., i]))
-        return jnp.stack(outs, axis=-1)                    # (..., W7)
+            outs.append(jnp.where(ge, sub, qi).astype(jnp.uint8))
+        return jnp.stack(outs, axis=-1)                    # (..., W7) u8
 
     def _forward(self, x: jnp.ndarray, k1, k2, tw) -> jnp.ndarray:
         """(W16, rows, n) Montgomery -> (W16, rows, n) fft_io output."""
