@@ -21,6 +21,7 @@ with columns sampled WITH replacement (lib.rs:1024-1080).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -213,6 +214,18 @@ def _ints_to_repr_rows(spec, vals: list[int]) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8).reshape(len(vals), spec.repr_bytes)
 
 
+def _words_to_repr_rows(words: np.ndarray) -> np.ndarray:
+    """(n, W/2) u32 LE words -> (n, 2W) uint8 repr rows (zero-copy-ish)."""
+    w32 = np.ascontiguousarray(words.astype("<u4"))
+    return w32.view(np.uint8).reshape(words.shape[0], -1)
+
+
+def _repr_rows_to_limbs(rows: np.ndarray) -> np.ndarray:
+    """(n, 2W) uint8 repr rows -> (W, n) uint32 canonical 16-bit limbs."""
+    u16 = rows.view("<u2")  # (n, W)
+    return np.ascontiguousarray(u16.T).astype(np.uint32)
+
+
 def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]):
     """tensor (n_rows) . coeffs (n_rows x n_per_row): canonical (ints, reprs).
 
@@ -229,7 +242,7 @@ def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]):
 def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
     """Extract columns + Merkle paths (open_column, lib.rs:788-825)."""
     idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
-    gathered = np.asarray(jnp.take(comm.comm, idx, axis=2))  # (W, R, k)
+    gathered_dev = jnp.take(comm.comm, idx, axis=2)  # (W, R, k), async
     n_cols_np2 = _next_pow2(comm.n_cols)
     path_len = max(0, n_cols_np2.bit_length() - 1)
     out = []
@@ -243,13 +256,17 @@ def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
         if size == 1:
             break
         size //= 2
-    for k, c in enumerate(cols):
+    paths = []
+    for c in cols:  # host path extraction overlaps the device gather
         path = []
         cc = c
         for lvl in range(path_len):
             sib = cc ^ 1
             path.append(bytes(comm.hashes[offsets[lvl] + sib]))
             cc >>= 1
+        paths.append(path)
+    gathered = np.asarray(gathered_dev)
+    for k, path in enumerate(paths):
         out.append(LcColumn(col_mont=gathered[:, :, k], path=path))
     return out
 
@@ -262,17 +279,31 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
         raise ProverError("outer tensor: wrong size")
 
     n_degree_tests_ = enc.get_n_degree_tests()
+    outer_limbs = ops.encode_host(outer_tensor)  # (W, R) Montgomery
     p_random_vec: list[list[int]] = []
-    for _ in range(n_degree_tests_):
+    eval_rows = None
+    for i in range(n_degree_tests_):
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
         rng = ChaCha20Rng(key)
         rand_tensor = field_random_vec(spec, rng, comm.n_rows)
-        p_random, rows = _collapse(ops, comm.coeffs, rand_tensor)
+        t = ops.encode_host(rand_tensor)
+        # the eval collapse has no transcript dependency, so it rides the
+        # final degree test's device call: one dispatch, one host pull
+        if i == n_degree_tests_ - 1:
+            ts = np.stack([t, outer_limbs], axis=1)  # (W, 2, R)
+        else:
+            ts = t[:, None, :]
+        words = np.asarray(
+            ops.collapse_words(jnp.asarray(ts), comm.coeffs)
+        )  # (T, n_per_row, W/2) canonical wire words
+        rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
-        p_random_vec.append(p_random)
+        p_random_vec.append(_repr_rows_to_ints(rows))
+        if i == n_degree_tests_ - 1:
+            eval_rows = _words_to_repr_rows(words[1])
 
-    p_eval, rows = _collapse(ops, comm.coeffs, outer_tensor)
-    tr.append_elements(enc.LABEL_PE, rows)
+    tr.append_elements(enc.LABEL_PE, eval_rows)
+    p_eval = _repr_rows_to_ints(eval_rows)
 
     n_col_opens = enc.get_n_col_opens()
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
@@ -301,8 +332,60 @@ def _merkle_pair(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     )
     return blake3_jax._compress_words(
         cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
-        jnp.uint32(blake3_jax.CHUNK_START | blake3_jax.CHUNK_END | blake3_jax.ROOT),
+        jnp.uint32(blake3_jax.CHUNK_START | CHUNK_END_ROOT),
     )
+
+
+CHUNK_END_ROOT = blake3_jax.CHUNK_END | blake3_jax.ROOT
+
+
+@functools.lru_cache(maxsize=None)
+def _verify_core_fn(ops):
+    """Jitted single-dispatch verifier core for one field's ops.
+
+    Inputs (all device):
+      ts        (W, T, R)  Montgomery — [rand_tensors..., outer_tensor]
+      col_mat   (W, R, k)  Montgomery — opened column values
+      rows_raw  (W, T, n_per_row) canonical — [p_random..., p_eval] rows
+      idx       (k,) int32 — opened column indices
+      sibs      (L, 8, k) u32 — Merkle sibling digests per level
+      bits      (L, k) bool — is-right bit of the walk at each level
+      root_w    (8,) u32 — expected root digest words
+    Returns (T+2,) u32 flags: per-row dot check [0..T), path check [T],
+    (slot T+1 reserved/unused).  Encoding of the proof rows happens in the
+    caller (it needs enc.encode_rows, which may itself be jitted).
+    """
+
+    def core(enc_rows, ts, col_mat, idx, sibs, bits, root_w):
+        got = ops.collapse_canon(ts, col_mat)             # (W, T, k) canonical
+        want = ops.from_mont(jnp.take(enc_rows, idx, axis=2))
+        ok_rows = jnp.all(got == want, axis=(0, 2))       # (T,)
+
+        canon = ops.from_mont(col_mat)
+        words = _pack_words(ops, canon)
+        digs = blake3_jax.hash_word_columns(words)        # (8, k)
+        for lvl in range(sibs.shape[0]):
+            s = sibs[lvl]
+            is_right = bits[lvl]
+            left = jnp.where(is_right, s, digs)
+            right = jnp.where(is_right, digs, s)
+            m = jnp.concatenate([left, right], axis=0)
+            cv = jnp.broadcast_to(
+                jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None], left.shape
+            )
+            digs = blake3_jax._compress_words(
+                cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
+                jnp.uint32(blake3_jax.CHUNK_START | CHUNK_END_ROOT),
+            )
+        ok_path = jnp.all(digs == root_w[:, None])
+        flags = jnp.concatenate(
+            [ok_rows.astype(jnp.uint32),
+             ok_path.astype(jnp.uint32)[None],
+             jnp.zeros((1,), jnp.uint32)]
+        )
+        return flags
+
+    return jax.jit(core)
 
 
 def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
@@ -324,70 +407,66 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     if not enc.dims_ok(n_per_row, n_cols):
         raise VerifierError("EncodingDims")
 
-    # step 1: re-derive degree-test tensors; encode p_random rows
+    # step 1 (host/transcript only): re-derive degree-test tensors and the
+    # column challenge — FS order p_random(s) -> p_eval -> columns
     n_degree_tests_ = enc.get_n_degree_tests()
     rand_tensors: list[list[int]] = []
-    p_random_fft: list[jnp.ndarray] = []
+    p_random_rows: list[np.ndarray] = []
     for i in range(n_degree_tests_):
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
         rng = ChaCha20Rng(key)
         rand_tensors.append(field_random_vec(spec, rng, n_rows))
+        rows_i = _ints_to_repr_rows(spec, proof.p_random_vec[i])
+        p_random_rows.append(rows_i)
+        tr.append_elements(enc.LABEL_PR, rows_i)
 
-        row = ops.encode_host(proof.p_random_vec[i])  # (W, n_per_row) Montgomery
-        enc_row = enc.encode_rows(row[:, None, :])[:, 0, :]  # (W, n_cols)
-        p_random_fft.append(enc_row)
-
-        tr.append_elements(enc.LABEL_PR, _ints_to_repr_rows(spec, proof.p_random_vec[i]))
-
-    tr.append_elements(enc.LABEL_PE, _ints_to_repr_rows(spec, proof.p_eval))
+    p_eval_rows = _ints_to_repr_rows(spec, proof.p_eval)
+    tr.append_elements(enc.LABEL_PE, p_eval_rows)
 
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
     cols_rng = ChaCha20Rng(key)
     cols_to_open = uniform_indices(n_cols, cols_rng, n_col_opens)
 
-    # step 2: p_eval encoding
-    row = ops.encode_host(proof.p_eval)
-    p_eval_fft = enc.encode_rows(row[:, None, :])[:, 0, :]  # (W, n_cols)
+    # step 2 (device, one dispatch + one pull): encode the proof rows, check
+    # every opened column's degree/eval dot products and Merkle path
+    T = n_degree_tests_ + 1
+    rows_raw = np.stack(
+        [_repr_rows_to_limbs(r) for r in p_random_rows]
+        + [_repr_rows_to_limbs(p_eval_rows)],
+        axis=1,
+    )  # (W, T, n_per_row) canonical
+    enc_rows = enc.encode_rows(ops.to_mont(jnp.asarray(rows_raw)))  # (W, T, n_cols)
 
-    # step 3: batched column checks
-    col_mat = jnp.asarray(
-        np.stack([c.col_mont for c in proof.columns], axis=2)
-    )  # (W, n_rows, k)
-    idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
+    ts = np.stack(
+        [ops.encode_host(t) for t in rand_tensors] + [ops.encode_host(outer_tensor)],
+        axis=1,
+    )  # (W, T, n_rows) Montgomery
+    col_mat = np.stack([c.col_mont for c in proof.columns], axis=2)  # (W, R, k)
+    idx = np.asarray(cols_to_open, dtype=np.int32)
 
-    # 3a: degree-test dot products
-    for i in range(n_degree_tests_):
-        t = ops.encode_host(rand_tensors[i])  # (W, n_rows)
-        got = ops.dot_mont(t[:, :, None], col_mat, axis=1)  # (W, k)
-        want = jnp.take(p_random_fft[i], idx, axis=1)
-        if not bool(jnp.all(ops.sub(got, want) == 0)):
-            raise VerifierError("ColumnDegree")
-
-    # 3b: eval dot products
-    t = ops.encode_host(outer_tensor)
-    got = ops.dot_mont(t[:, :, None], col_mat, axis=1)
-    want = jnp.take(p_eval_fft, idx, axis=1)
-    if not bool(jnp.all(ops.sub(got, want) == 0)):
-        raise VerifierError("ColumnEval")
-
-    # 3c: Merkle paths — batched path walk across opened columns
-    canon = ops.from_mont(col_mat)  # (W, n_rows, k)
-    words = _pack_words(ops, canon)
-    digs = blake3_jax.hash_word_columns(words)  # (8, k)
     path_len = len(proof.columns[0].path)
     col_bits = np.asarray(cols_to_open, dtype=np.int64)
+    sibs = np.zeros((path_len, 8, len(proof.columns)), dtype=np.uint32)
     for lvl in range(path_len):
-        sibs = blake3_jax.bytes_to_digests(
-            np.stack([np.frombuffer(c.path[lvl], dtype=np.uint8)
-                      for c in proof.columns])
+        lvl_bytes = np.stack(
+            [np.frombuffer(c.path[lvl], dtype=np.uint8) for c in proof.columns]
         )
-        sibs = jnp.asarray(sibs)
-        is_right = jnp.asarray((col_bits >> lvl) & 1, dtype=jnp.bool_)
-        left = jnp.where(is_right, sibs, digs)
-        right = jnp.where(is_right, digs, sibs)
-        digs = _merkle_pair(left, right)
-    roots = blake3_jax.digests_to_bytes(digs)
-    if not all(bytes(roots[i]) == root for i in range(len(proof.columns))):
+        sibs[lvl] = blake3_jax.bytes_to_digests(lvl_bytes)
+    bits = ((col_bits[None, :] >> np.arange(path_len)[:, None]) & 1).astype(bool)
+    root_w = np.frombuffer(root, dtype="<u4").astype(np.uint32)
+
+    flags = np.asarray(
+        _verify_core_fn(ops)(
+            enc_rows, jnp.asarray(ts), jnp.asarray(col_mat), jnp.asarray(idx),
+            jnp.asarray(sibs), jnp.asarray(bits), jnp.asarray(root_w),
+        )
+    )
+    for i in range(n_degree_tests_):
+        if not flags[i]:
+            raise VerifierError("ColumnDegree")
+    if not flags[n_degree_tests_]:
+        raise VerifierError("ColumnEval")
+    if not flags[T]:
         raise VerifierError("ColumnPath")
 
     # step 4: evaluation

@@ -175,3 +175,26 @@ class ChaCha20Rng:
         words = np.concatenate(parts) if len(parts) > 1 else parts[0]
         words = words.astype(np.uint64)
         return words[0::2] | (words[1::2] << np.uint64(32))
+
+    def rewind_u64(self, n: int) -> None:
+        """Step the stream back by n u64 draws (used after bulk over-draws).
+
+        Only rewinds within the current buffer plus past full blocks: if the
+        target position predates the buffer, the needed blocks are recomputed
+        from the block counter (ChaCha blocks are pure functions of
+        key/counter/nonce, so this is exact).
+        """
+        back = 2 * n
+        if back <= self.index:
+            self.index -= back
+            return
+        # absolute word position of buf[0] within the stream
+        buf_blocks = len(self.buf) // 16
+        start_block = self.counter - buf_blocks
+        abs_pos = start_block * 16 + self.index - back
+        assert abs_pos >= 0
+        new_block = abs_pos // 16
+        blocks = chacha20_blocks(self.key, new_block, self.nonce, max(buf_blocks, 1))
+        self.counter = (new_block + max(buf_blocks, 1)) & ((1 << 64) - 1)
+        self.buf = blocks.reshape(-1)
+        self.index = abs_pos - new_block * 16

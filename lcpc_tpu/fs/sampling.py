@@ -96,6 +96,27 @@ class UniformUsize:
 
 
 def uniform_indices(n: int, rng: ChaCha20Rng, count: int) -> list[int]:
-    """`count` samples from Uniform::new(0usize, n) (with replacement)."""
+    """`count` samples from Uniform::new(0usize, n) (with replacement).
+
+    Vectorized with EXACT stream consumption: draw `count` u64s at once; if
+    all land in the acceptance zone (overwhelmingly likely — the rejection
+    zone is < n/2^64), the batch is the answer.  On a rejection, everything
+    from the first rejected draw on is recomputed from a rewound stream so
+    consumption matches the reference's one-at-a-time loop bit-for-bit.
+    """
     dist = UniformUsize(n)
-    return [dist.sample(rng) for _ in range(count)]
+    out: list[int] = []
+    while len(out) < count:
+        need = count - len(out)
+        draws = rng.next_u64_array(need)
+        m = draws.astype(object) * n  # exact 128-bit products
+        lo = m & _U64_MASK
+        ok = lo <= dist.zone
+        if bool(ok.all()):
+            out.extend(int(v) for v in (m >> 64))
+            break
+        first_bad = int(np.argmin(ok))
+        out.extend(int(v) for v in (m[:first_bad] >> 64))
+        # consume the rejected draw (already drawn) and redo the rest
+        rng.rewind_u64(need - first_bad - 1)
+    return out

@@ -61,6 +61,8 @@ class FieldOps:
         self.from_mont = jax.jit(self.from_mont)
         self.sum = jax.jit(self.sum, static_argnames=("axis",))
         self.dot_mont = jax.jit(self.dot_mont, static_argnames=("axis",))
+        self.collapse_canon = jax.jit(self.collapse_canon)
+        self.collapse_words = jax.jit(self.collapse_words)
 
     # ---- helpers -------------------------------------------------------------
 
@@ -291,6 +293,84 @@ class FieldOps:
     def dot_mont(self, a: jnp.ndarray, b: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
         """Sum_k a_k * b_k over batch `axis` (both in Montgomery form)."""
         return self.sum(self.mul(a, b), axis=axis)
+
+    # ---- fused lazy-reduction collapse ----------------------------------------
+
+    def _mont_reduce_arr(self, v: jnp.ndarray) -> jnp.ndarray:
+        """One Montgomery reduction step on a wide value.
+
+        v: (L, ...batch) 16-bit limbs, L > W.  Returns (L-W+1, ...) limbs of
+        (V + m*p) / R with m = (V mod R) * (-p^-1) mod R — i.e. V*R^{-1} mod p
+        up to multiples of p, bounded by V/R + 2p.
+        """
+        w = self.w
+        batch = v.shape[1:]
+        n0 = self._bc_const(self.n0inv_limbs, batch)
+        m = self._norm_array(self._conv_cols(v[:w], n0)[:w], w)
+        mp = self._conv_cols(m, self._bc_const(self.p_limbs, batch))  # (2W, ...)
+        L = v.shape[0]
+        K = max(L, 2 * w)
+        pad = [(0, 0)] * len(batch)
+        s_cols = jnp.pad(v, [(0, K - L)] + pad) + jnp.pad(mp, [(0, K - 2 * w)] + pad)
+        s = self._norm_array(s_cols, K + 1)
+        # bottom W limbs are zero by construction of m; drop them (the /R)
+        return s[w:]
+
+    def collapse_canon(self, ts: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+        """Batched field dot products with a single deferred reduction.
+
+        ts: (W, T, R) and mat: (W, R, C), both Montgomery 16-bit limbs.
+        Returns (W, T, C) **canonical** limbs of sum_r ts[t,r] * mat[r,c].
+
+        This is collapse_columns (lcpc-2d/src/lib.rs:1095-1123) restructured
+        for the VPU: instead of R*C full Montgomery multiplies + a modular
+        reduction tree, the 32-bit limb products are split lo/hi and summed
+        over r as plain u32 (safe by the chunk bound below), and the
+        Montgomery reduction runs once per output element — O(W^2) work per
+        output instead of per input.  Two reduction steps take the lazy
+        double-Montgomery sum (== Σab·R² mod p) straight to canonical.
+        """
+        w = self.w
+        T, R = ts.shape[1], ts.shape[2]
+        C = mat.shape[2]
+        # per (i,j) limb pair each r contributes < 2^16 to a lo and a hi
+        # column; ≤ 2W pairs land in one column, so chunk R to keep the u32
+        # accumulators below 2^32: 2W * Rc * 2^16 < 2^32
+        r_chunk = max(1, (1 << 15) // w)
+        n_chunks = (R + r_chunk - 1) // r_chunk
+        total = None  # (2W+1, T, C) 16-bit limbs, summed over chunks (u32)
+        for c0 in range(0, R, r_chunk):
+            a = ts[:, :, c0 : c0 + r_chunk]    # (W, T, Rc)
+            b = mat[:, c0 : c0 + r_chunk, :]   # (W, Rc, C)
+            cols: list = [None] * (2 * w)
+            for i in range(w):
+                ai = a[i][:, :, None]          # (T, Rc, 1)
+                for j in range(w):
+                    bj = b[j][None, :, :]      # (1, Rc, C)
+                    t32 = ai * bj              # (T, Rc, C)
+                    lo = jnp.sum(t32 & MASK16, axis=1)
+                    hi = jnp.sum(t32 >> 16, axis=1)
+                    k = i + j
+                    cols[k] = lo if cols[k] is None else cols[k] + lo
+                    cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+            chunk = self._norm_array(jnp.stack(cols, axis=0), 2 * w + 1)
+            total = chunk if total is None else total + chunk
+        # chunk sums: limbs < 2^16 each, n_chunks < 2^16 -> still u32-safe
+        assert n_chunks < (1 << 16)
+        v = self._norm_array(total, 2 * w + 2)
+        v = self._mont_reduce_arr(v)           # ≅ Σab·R  (W+3 limbs)
+        v = self._mont_reduce_arr(v)           # ≅ Σab    (W+? limbs, < 2p)
+        return self._cond_sub_p([v[i] for i in range(v.shape[0])])
+
+    def collapse_words(self, ts: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+        """collapse_canon packed as wire words: (T, C, W/2) u32 LE words.
+
+        Row-major per (t, c): words[t, c] viewed as little-endian bytes is
+        exactly the ff to_repr byte string of the canonical value.
+        """
+        canon = self.collapse_canon(ts, mat)          # (W, T, C)
+        words = canon[0::2] | (canon[1::2] << jnp.uint32(16))  # (W/2, T, C)
+        return jnp.transpose(words, (1, 2, 0))
 
     # ---- host conversions ----------------------------------------------------
 
