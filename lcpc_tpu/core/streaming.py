@@ -19,6 +19,7 @@ compiled program for all blocks).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +35,103 @@ from .protocol import (
     LcColumn,
     LcEvalProof,
     ProverError,
-    _collapse,
     _next_pow2,
     _open_columns,
     _pack_words,
+    _repr_rows_to_ints,
+    _words_to_repr_rows,
 )
+
+
+@functools.lru_cache(maxsize=None)
+def _update_fn(n_cols: int, buf_len: int, n_full: int):
+    """Jitted hasher update for static (n_cols, buf_len, n_full).
+
+    Module-level cache: hashers are created per commit call, so per-instance
+    jits would retrace every commit (seconds per trace dominated the
+    streaming path before this cache).
+    """
+
+    def fn(cv, chunk_cvs, buf, words, chunks_done):
+        data = jnp.concatenate([buf[:buf_len], words], axis=0)
+        n_blocks = n_full * 16
+
+        ks = np.arange(n_blocks)
+        pos = ks % 16
+        is_start = pos == 0
+        is_end = pos == 15
+        blen = np.full(n_blocks, 64, dtype=np.uint32)
+        flags = (
+            np.where(is_start, blake3_jax.CHUNK_START, 0)
+            | np.where(is_end, blake3_jax.CHUNK_END, 0)
+        ).astype(np.uint32)
+        cidx = (ks // 16).astype(np.uint32)
+
+        cv, chunk_cvs = blake3_jax.chunk_chain_scan(
+            data[: n_blocks * 16].reshape(n_blocks, 16, n_cols),
+            jnp.asarray(is_start), jnp.asarray(is_end), jnp.asarray(blen),
+            jnp.asarray(flags), jnp.asarray(cidx), cv, chunk_cvs,
+            chunk_base=chunks_done,
+        )
+        new_buf = jax.lax.dynamic_slice(
+            jnp.pad(data, [(0, 256), (0, 0)]), (n_full * 256, 0),
+            (256, n_cols),
+        )
+        return cv, chunk_cvs, new_buf
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _finalize_fn(n_cols: int, rem_words: int, chunks_done: int):
+    """Jitted final-partial-chunk processor (static shapes, cached)."""
+
+    def fin(cv, chunk_cvs, buf):
+        n_blocks = (rem_words + 15) // 16
+        last_len = (rem_words % 16) * 4 or 64
+
+        def body(k, carry):
+            # buf starts at a chunk boundary (update() keeps processed
+            # words 256-aligned), so block k of the final chunk is k
+            cv, ccvs = carry
+            is_last = k == n_blocks - 1
+            flags = (
+                jnp.where(k == 0, jnp.uint32(blake3_jax.CHUNK_START), jnp.uint32(0))
+                | jnp.where(is_last, jnp.uint32(blake3_jax.CHUNK_END), jnp.uint32(0))
+            )
+            blen = jnp.where(is_last, jnp.uint32(last_len), jnp.uint32(64))
+            m = jax.lax.dynamic_slice(buf, (k * 16, 0), (16, n_cols))
+            iv = jnp.broadcast_to(
+                jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None], (8, n_cols)
+            )
+            cv_in = jnp.where(k == 0, iv, cv)
+            out = blake3_jax._compress_words(
+                cv_in, m, jnp.uint32(chunks_done), jnp.uint32(0), blen, flags,
+            )
+            ccvs2 = jax.lax.dynamic_update_slice(
+                ccvs, out[None], (chunks_done, 0, 0)
+            )
+            return out, ccvs2
+
+        cv, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (cv, chunk_cvs))
+        return chunk_cvs
+
+    return jax.jit(fin)
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_pack_fn(enc: LcEncoding):
+    ops = get_ops(enc.spec)
+    return jax.jit(
+        lambda block: _pack_words(ops, ops.from_mont(enc.encode_rows(block)))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_gather_fn(enc: LcEncoding):
+    return jax.jit(
+        lambda block, idx: jnp.take(enc.encode_rows(block), idx, axis=2)
+    )
 
 
 class StreamingColumnHasher:
@@ -57,50 +150,6 @@ class StreamingColumnHasher:
         self.buf_len = 8  # the zero prefix
         self.words_done = 0
         self.chunks_done = 0
-        self._update_jit = {}
-
-    def _process(self, buf_len, n_full, chunks_done_static_unused):
-        """Build the jitted update for (buf_len, L) -> processes n_full chunks."""
-
-        def fn(cv, chunk_cvs, buf, words, chunks_done):
-            data = jnp.concatenate([buf[:buf_len], words], axis=0)
-            total = data.shape[0]
-            n_blocks = n_full * 16
-
-            def body(k, carry):
-                cv, ccvs = carry
-                pos = k % 16
-                cidx = chunks_done + k // 16
-                is_start = pos == 0
-                is_end = pos == 15
-                flags = (
-                    jnp.where(is_start, jnp.uint32(blake3_jax.CHUNK_START), jnp.uint32(0))
-                    | jnp.where(is_end, jnp.uint32(blake3_jax.CHUNK_END), jnp.uint32(0))
-                )
-                m = jax.lax.dynamic_slice(
-                    data, (k * 16, 0), (16, self.n_cols)
-                )
-                iv = jnp.broadcast_to(
-                    jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None],
-                    (8, self.n_cols),
-                )
-                cv_in = jnp.where(is_start, iv, cv)
-                out = blake3_jax._compress_words(
-                    cv_in, m, cidx.astype(jnp.uint32), jnp.uint32(0),
-                    jnp.uint32(64), flags,
-                )
-                ccvs = jax.lax.dynamic_update_slice(ccvs, out[None], (cidx, 0, 0))
-                return out, ccvs
-
-            cv, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (cv, chunk_cvs))
-            rem = total - n_full * 256
-            new_buf = jax.lax.dynamic_slice(
-                jnp.pad(data, [(0, 256), (0, 0)]), (n_full * 256, 0),
-                (256, self.n_cols),
-            )
-            return cv, chunk_cvs, new_buf
-
-        return jax.jit(fn)
 
     def update(self, words: jnp.ndarray) -> None:
         """words: (L, n_cols) u32 appended to every column's stream."""
@@ -111,10 +160,7 @@ class StreamingColumnHasher:
         is_final = self.words_done + l + 8 == self.total_words
         if is_final and total % 256 == 0 and n_full > 0:
             n_full -= 1
-        key = (self.buf_len, l, n_full)
-        if key not in self._update_jit:
-            self._update_jit[key] = self._process(self.buf_len, n_full, None)
-        fn = self._update_jit[key]
+        fn = _update_fn(self.n_cols, self.buf_len, n_full)
         self.cv, self.chunk_cvs, self.buf = fn(
             self.cv, self.chunk_cvs, self.buf, words,
             jnp.int32(self.chunks_done),
@@ -131,39 +177,8 @@ class StreamingColumnHasher:
         rem_words = self.buf_len
         assert rem_words > 0
 
-        def fin(cv, chunk_cvs, buf):
-            n_blocks = (rem_words + 15) // 16
-            last_len = (rem_words % 16) * 4 or 64
-
-            def body(k, carry):
-                # buf starts at a chunk boundary (update() keeps processed
-                # words 256-aligned), so block k of the final chunk is k
-                cv, ccvs = carry
-                is_last = k == n_blocks - 1
-                flags = (
-                    jnp.where(k == 0, jnp.uint32(blake3_jax.CHUNK_START), jnp.uint32(0))
-                    | jnp.where(is_last, jnp.uint32(blake3_jax.CHUNK_END), jnp.uint32(0))
-                )
-                blen = jnp.where(is_last, jnp.uint32(last_len), jnp.uint32(64))
-                m = jax.lax.dynamic_slice(buf, (k * 16, 0), (16, self.n_cols))
-                iv = jnp.broadcast_to(
-                    jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None],
-                    (8, self.n_cols),
-                )
-                cv_in = jnp.where(k == 0, iv, cv)
-                out = blake3_jax._compress_words(
-                    cv_in, m, jnp.uint32(self.chunks_done), jnp.uint32(0),
-                    blen, flags,
-                )
-                ccvs2 = jax.lax.dynamic_update_slice(
-                    ccvs, out[None], (self.chunks_done, 0, 0)
-                )
-                return out, ccvs2
-
-            cv, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (cv, chunk_cvs))
-            return chunk_cvs
-
-        chunk_cvs = jax.jit(fin)(self.cv, self.chunk_cvs, self.buf)
+        fin = _finalize_fn(self.n_cols, rem_words, self.chunks_done)
+        chunk_cvs = fin(self.cv, self.chunk_cvs, self.buf)
         assert self.chunks_done + 1 == self.n_chunks
 
         # merge chunk CVs (pair-adjacent == blake3's tree shape)
@@ -250,9 +265,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None
     total_words = 8 + n_rows * wpe
     hasher = StreamingColumnHasher(n_cols, total_words)
 
-    encode_pack = jax.jit(
-        lambda block: _pack_words(ops, ops.from_mont(enc.encode_rows(block)))
-    )
+    encode_pack = _encode_pack_fn(enc)
 
     for r0 in range(0, n_rows, rb):
         r1 = min(r0 + rb, n_rows)
@@ -283,16 +296,29 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
     if len(outer_tensor) != comm.n_rows:
         raise ProverError("outer tensor: wrong size")
 
+    # fused collapse: one device dispatch + one pull per FS round, with the
+    # eval collapse riding the final degree test (see protocol.prove)
+    n_degree_tests_ = enc.get_n_degree_tests()
+    outer_limbs = ops.encode_host(outer_tensor)
     p_random_vec: list[list[int]] = []
-    for _ in range(enc.get_n_degree_tests()):
+    eval_rows = None
+    for i in range(n_degree_tests_):
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
         rand_tensor = field_random_vec(spec, ChaCha20Rng(key), comm.n_rows)
-        p_random, rows = _collapse(ops, comm.coeffs, rand_tensor)
+        t = ops.encode_host(rand_tensor)
+        if i == n_degree_tests_ - 1:
+            ts = np.stack([t, outer_limbs], axis=1)
+        else:
+            ts = t[:, None, :]
+        words = np.asarray(ops.collapse_words(jnp.asarray(ts), comm.coeffs))
+        rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
-        p_random_vec.append(p_random)
+        p_random_vec.append(_repr_rows_to_ints(rows))
+        if i == n_degree_tests_ - 1:
+            eval_rows = _words_to_repr_rows(words[1])
 
-    p_eval, rows = _collapse(ops, comm.coeffs, outer_tensor)
-    tr.append_elements(enc.LABEL_PE, rows)
+    tr.append_elements(enc.LABEL_PE, eval_rows)
+    p_eval = _repr_rows_to_ints(eval_rows)
 
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
     cols_to_open = uniform_indices(
@@ -301,14 +327,12 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
 
     # re-encode by blocks, gathering only the opened columns
     idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
-    gather = jax.jit(
-        lambda block: jnp.take(enc.encode_rows(block), idx, axis=2)
-    )
+    gather = _encode_gather_fn(enc)
     pieces = []
     rb = comm.row_block
     for r0 in range(0, comm.n_rows, rb):
         r1 = min(r0 + rb, comm.n_rows)
-        pieces.append(np.asarray(gather(comm.coeffs[:, r0:r1, :])))
+        pieces.append(np.asarray(gather(comm.coeffs[:, r0:r1, :], idx)))
     col_mat = np.concatenate(pieces, axis=1)  # (W, n_rows, k)
 
     # merkle paths (same layout as the in-memory prover)

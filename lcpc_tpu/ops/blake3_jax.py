@@ -88,6 +88,75 @@ def _compress_words(cv, m, counter_lo, counter_hi, block_len, flags):
     return state[:8] ^ state[8:16]
 
 
+_G_SCHEDULE = [
+    (0, 4, 8, 12, 0, 1), (1, 5, 9, 13, 2, 3), (2, 6, 10, 14, 4, 5),
+    (3, 7, 11, 15, 6, 7), (0, 5, 10, 15, 8, 9), (1, 6, 11, 12, 10, 11),
+    (2, 7, 8, 13, 12, 13), (3, 4, 9, 14, 14, 15),
+]
+
+
+def _compress_list(cv, msg, counter_lo, counter_hi, block_len, flags, batch):
+    """BLAKE3 compression with fully unrolled rounds over unstacked state.
+
+    cv: list of 8 arrays, msg: list of 16 arrays (all batch-shaped).  The
+    unrolled DAG of ~700 elementwise ops fuses into one VPU kernel on TPU —
+    ~9x faster than the stacked fori_loop form of _compress_words.  MUST only
+    be traced inside a lax.scan/fori body: at top level the XLA *CPU*
+    pipeline hits an exponential-time pathology on this DAG shape.
+    """
+    def bc(x):
+        return jnp.broadcast_to(jnp.asarray(x, jnp.uint32), batch)
+
+    v = list(cv) + [bc(_IV[0]), bc(_IV[1]), bc(_IV[2]), bc(_IV[3]),
+                    bc(counter_lo), bc(counter_hi), bc(block_len), bc(flags)]
+    msg = list(msg)
+    for r in range(7):
+        for (a, b, c, d, x, y) in _G_SCHEDULE:
+            va, vb, vc, vd = v[a], v[b], v[c], v[d]
+            va = va + vb + msg[x]
+            vd = _rotr(vd ^ va, 16)
+            vc = vc + vd
+            vb = _rotr(vb ^ vc, 12)
+            va = va + vb + msg[y]
+            vd = _rotr(vd ^ va, 8)
+            vc = vc + vd
+            vb = _rotr(vb ^ vc, 7)
+            v[a], v[b], v[c], v[d] = va, vb, vc, vd
+        if r < 6:
+            msg = [msg[p] for p in MSG_PERMUTATION]
+    return [v[i] ^ v[i + 8] for i in range(8)]
+
+
+def chunk_chain_scan(blocks, is_start, is_end, blen, flags, cidx, cv0, ccvs0,
+                     chunk_base=0):
+    """Run the sequential per-block compression chain as one lax.scan.
+
+    blocks: (n_blocks, 16, C) message words; is_start/is_end (n_blocks,) bool;
+    blen/flags/cidx (n_blocks,) u32 per-block parameters.  cv0: (8, C) chain
+    state; ccvs0: (n_chunks, 8, C) chunk-CV store; chunk-end outputs are
+    written at slot chunk_base + cidx.  Returns (final cv (8, C), ccvs).
+    """
+    C = blocks.shape[2]
+
+    def body(carry, xs):
+        cv, ccvs = carry
+        m, st, en, bl, fl, ci = xs
+        ci = ci + jnp.uint32(chunk_base)  # global chunk index (blake3 counter)
+        cv_in = [jnp.where(st, jnp.uint32(_IV[i]), cv[i]) for i in range(8)]
+        out = _compress_list(cv_in, [m[i] for i in range(16)],
+                             ci, jnp.uint32(0), bl, fl, (C,))
+        slot = ci.astype(jnp.int32)
+        upd = jnp.where(en, jnp.stack(out), ccvs[slot])
+        ccvs = jax.lax.dynamic_update_slice(ccvs, upd[None], (slot, 0, 0))
+        return (tuple(out), ccvs), None
+
+    cv0_t = tuple(cv0[i] for i in range(8))
+    (cv, ccvs), _ = jax.lax.scan(
+        body, (cv0_t, ccvs0), (blocks, is_start, is_end, blen, flags, cidx)
+    )
+    return jnp.stack(cv), ccvs
+
+
 def _hash_words_streams(buf: jnp.ndarray, total_words: int) -> jnp.ndarray:
     """blake3 of many equal-length word streams.
 
@@ -106,32 +175,45 @@ def _hash_words_streams(buf: jnp.ndarray, total_words: int) -> jnp.ndarray:
         jnp.asarray(_IV, jnp.uint32)[:, None], (8, n_cols)
     )
 
-    def body(k, carry):
-        cv, chunk_cvs = carry
-        pos = k % 16
-        chunk_idx = k // 16
-        is_start = pos == 0
-        is_last_block = k == n_blocks - 1
-        is_end = (pos == 15) | is_last_block
-        block_len = jnp.where(is_last_block, jnp.uint32(last_len), jnp.uint32(64))
-        flags = (
-            jnp.where(is_start, jnp.uint32(CHUNK_START), jnp.uint32(0))
-            | jnp.where(is_end, jnp.uint32(CHUNK_END), jnp.uint32(0))
-            | (jnp.uint32(ROOT) if single_chunk else jnp.uint32(0))
-            * jnp.where(is_last_block, jnp.uint32(1), jnp.uint32(0))
-        )
-        m = jax.lax.dynamic_slice(buf, (k * 16, 0), (16, n_cols))
-        cv_in = jnp.where(is_start, iv_cv, cv)
-        out = _compress_words(
-            cv_in, m, chunk_idx.astype(jnp.uint32), jnp.uint32(0), block_len, flags
-        )
-        chunk_cvs = jax.lax.dynamic_update_slice(
-            chunk_cvs, out[None], (chunk_idx, 0, 0)
-        )
-        return out, chunk_cvs
+    ks = np.arange(n_blocks)
+    pos = ks % 16
+    is_start = pos == 0
+    is_last = ks == n_blocks - 1
+    is_end = (pos == 15) | is_last
+    blen = np.where(is_last, last_len, 64).astype(np.uint32)
+    flags = (
+        np.where(is_start, CHUNK_START, 0)
+        | np.where(is_end, CHUNK_END, 0)
+        | (ROOT if single_chunk else 0) * np.where(is_last, 1, 0)
+    ).astype(np.uint32)
+    cidx = (ks // 16).astype(np.uint32)
 
     chunk_cvs0 = jnp.zeros((n_chunks, 8, n_cols), dtype=jnp.uint32)
-    _, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (iv_cv, chunk_cvs0))
+    if n_blocks >= 8:
+        # hot path: one lax.scan whose body is the unrolled compression
+        _, chunk_cvs = chunk_chain_scan(
+            buf.reshape(n_blocks, 16, n_cols),
+            jnp.asarray(is_start), jnp.asarray(is_end), jnp.asarray(blen),
+            jnp.asarray(flags), jnp.asarray(cidx), iv_cv, chunk_cvs0,
+        )
+    else:
+        # tiny inputs: XLA unrolls short scans, which trips the CPU
+        # pathology _compress_list documents — use the stacked fori form
+        def body(k, carry):
+            cv, ccvs = carry
+            m = jax.lax.dynamic_slice(buf, (k * 16, 0), (16, n_cols))
+            st = jnp.asarray(is_start)[k]
+            cv_in = jnp.where(st, iv_cv, cv)
+            out = _compress_words(
+                cv_in, m, jnp.asarray(cidx)[k], jnp.uint32(0),
+                jnp.asarray(blen)[k], jnp.asarray(flags)[k],
+            )
+            ccvs = jax.lax.dynamic_update_slice(
+                ccvs, out[None], (jnp.asarray(cidx, np.int32)[k], 0, 0)
+            )
+            return out, ccvs
+
+        _, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (iv_cv, chunk_cvs0))
 
     if single_chunk:
         return chunk_cvs[0]

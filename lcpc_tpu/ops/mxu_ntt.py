@@ -145,7 +145,12 @@ class MxuNttPlan:
 
 
 def _to7(x16: jnp.ndarray, w7: int) -> jnp.ndarray:
-    """(W16, ...) u32 16-bit limbs -> (..., W7) int8 digits (digit axis LAST)."""
+    """(W16, ...) u32 16-bit limbs -> (W7, ...) int8 digits (digit axis FIRST).
+
+    Digit-major layout is load-bearing: axis-0 slices are address offsets (no
+    relayout), so the carry chains and per-digit ops below run as full-width
+    VPU ops — the digit-minor form measured ~5x slower end to end.
+    """
     w16 = x16.shape[0]
     outs = []
     zero = jnp.zeros_like(x16[0])
@@ -155,17 +160,17 @@ def _to7(x16: jnp.ndarray, w7: int) -> jnp.ndarray:
         lo = x16[j] >> jnp.uint32(r)
         hi = (x16[j + 1] << jnp.uint32(16 - r)) if (r > 9 and j + 1 < w16) else zero
         outs.append(((lo | hi) & jnp.uint32(0x7F)).astype(jnp.int8))
-    return jnp.stack(outs, axis=-1)
+    return jnp.stack(outs, axis=0)
 
 
 def _from7(d7: jnp.ndarray, w16: int) -> jnp.ndarray:
-    """(..., W7) clean 7-bit digits (uint32) -> (W16, ...) 16-bit limbs."""
-    w7 = d7.shape[-1]
+    """(W7, ...) clean 7-bit digits (uint8/uint32) -> (W16, ...) 16-bit limbs."""
+    w7 = d7.shape[0]
     cols = [None] * (w16 + 2)
     for k in range(w7):
         bitpos = 7 * k
         j, r = divmod(bitpos, 16)
-        v = d7[..., k].astype(jnp.uint32) << jnp.uint32(r)
+        v = d7[k].astype(jnp.uint32) << jnp.uint32(r)
         lo = v & MASK16
         hi = v >> 16
         cols[j] = lo if cols[j] is None else cols[j] + lo
@@ -174,7 +179,7 @@ def _from7(d7: jnp.ndarray, w16: int) -> jnp.ndarray:
     out = []
     carry = None
     for j in range(w16):
-        c = cols[j] if cols[j] is not None else jnp.zeros_like(d7[..., 0], dtype=jnp.uint32)
+        c = cols[j] if cols[j] is not None else jnp.zeros_like(d7[0], dtype=jnp.uint32)
         if carry is not None:
             c = c + carry
         out.append(c & MASK16)
@@ -183,15 +188,15 @@ def _from7(d7: jnp.ndarray, w16: int) -> jnp.ndarray:
 
 
 def _carry7(planes: jnp.ndarray, out_digits: int) -> jnp.ndarray:
-    """(..., K) int32/uint32 digit planes -> (..., out_digits) clean digits.
+    """(K, ...) int32/uint32 digit planes -> (out_digits, ...) clean digits.
 
     Output dtype is uint8: at streaming scale the stacked digit arrays are
     the dominant transient (80 digits/element), so 4x matters."""
-    k = planes.shape[-1]
+    k = planes.shape[0]
     out = []
     carry = None
     for i in range(min(k, out_digits)):
-        c = planes[..., i].astype(jnp.uint32)
+        c = planes[i].astype(jnp.uint32)
         if carry is not None:
             c = c + carry
         out.append((c & jnp.uint32(0x7F)).astype(jnp.uint8))
@@ -202,32 +207,37 @@ def _carry7(planes: jnp.ndarray, out_digits: int) -> jnp.ndarray:
         else:
             out.append((carry & jnp.uint32(0x7F)).astype(jnp.uint8))
             carry = carry >> 7
-    return jnp.stack(out[:out_digits], axis=-1)
+    return jnp.stack(out[:out_digits], axis=0)
 
 
 def _conv_digits(x7: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """x7 (batch, C_in, W7) int8, kernel (W7, C_in, C_out) -> planes
-    (batch, C_out, 2*W7-1) int32 of digit-convolved contraction."""
+    """x7 (W7, batch, C_in) int8, kernel (W7, C_in, C_out) -> planes
+    (2*W7-1, batch, C_out) int32 of digit-convolved contraction (one MXU
+    int8 conv; spatial = digit axis, channels = DFT contraction)."""
     w7 = kernel.shape[0]
-    x = jnp.swapaxes(x7, 1, 2)  # (batch, W7, C) NWC
-    out = jax.lax.conv_general_dilated(
-        x, kernel,
+    return jax.lax.conv_general_dilated(
+        x7, kernel,
         window_strides=(1,),
         padding=[(w7 - 1, w7 - 1)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
+        dimension_numbers=("WNC", "WIO", "WNC"),
         preferred_element_type=jnp.int32,
-    )  # (batch, 2*W7-1, C_out)
-    return jnp.swapaxes(out, 1, 2)
+    )  # (2*W7-1, batch, C_out)
 
 
 def _matmul_toep(digits: jnp.ndarray, toep: np.ndarray) -> jnp.ndarray:
-    """(..., K) int8/uint32 digits @ (K, M) int8 Toeplitz -> (..., M) int32."""
+    """(K, ...) digits x (K, M) int8 Toeplitz -> (M, ...) int32.
+
+    Contraction runs as toep^T @ digits with the tiny constant on the left,
+    so the output stays digit-major."""
     d = digits.astype(jnp.int8)
-    return jax.lax.dot_general(
-        d, jnp.asarray(toep),
-        (((d.ndim - 1,), (0,)), ((), ())),
+    batch = d.shape[1:]
+    d2 = d.reshape(d.shape[0], -1)
+    out = jax.lax.dot_general(
+        jnp.asarray(np.ascontiguousarray(toep.T)), d2,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )
+    )  # (M, prod(batch))
+    return out.reshape(out.shape[0], *batch)
 
 
 class MxuNtt:
@@ -245,30 +255,31 @@ class MxuNtt:
         self._fn = jax.jit(self._forward)
 
     def _reduce(self, planes: jnp.ndarray) -> jnp.ndarray:
-        """Digit planes (..., 2W7-1) int32 -> clean Montgomery digits (..., W7).
+        """Digit planes (2W7-1, ...) int32 -> clean Montgomery digits (W7, ...).
 
         Separated Montgomery reduction base 2^7 with radix 2^(7*W7r):
         m = (T mod R7) * n0inv mod R7; S = T + m*p; out = S >> 7*W7r < 2p.
+        All arrays are digit-major (see _to7).
         """
         plan = self.plan
         w7, w7r = plan.w7, plan.w7r
         t = _carry7(planes, plan.lt)                       # clean wide digits
-        m_planes = _matmul_toep(t[..., :w7r], plan.toep_n0)
+        m_planes = _matmul_toep(t[:w7r], plan.toep_n0)
         m = _carry7(m_planes, w7r)                         # m mod R7
-        mp = _matmul_toep(m, plan.toep_p)                  # (..., w7r + w7)
+        mp = _matmul_toep(m, plan.toep_p)                  # (w7r + w7, ...)
         pad = plan.lt - (w7r + w7)
-        mp_wide = jnp.pad(mp, [(0, 0)] * (mp.ndim - 1) + [(0, pad)])
+        mp_wide = jnp.pad(mp, [(0, pad)] + [(0, 0)] * (mp.ndim - 1))
         s = t.astype(jnp.uint32) + mp_wide.astype(jnp.uint32)
         s = _carry7(s, plan.lt)
-        q = s[..., w7r : w7r + w7 + 1]                     # quotient digits (+top)
+        q = s[w7r : w7r + w7 + 1]                          # quotient digits (+top)
         # conditional subtract p (digit-domain)
         p7 = plan.p7.astype(np.uint32)
         ge = None
         eq = None
-        for i in range(q.shape[-1] - 1, -1, -1):
+        for i in range(q.shape[0] - 1, -1, -1):
             pi = jnp.uint32(int(p7[i]) if i < len(p7) else 0)
-            gti = q[..., i] > pi
-            eqi = q[..., i] == pi
+            gti = q[i] > pi
+            eqi = q[i] == pi
             if ge is None:
                 ge, eq = gti, eqi
             else:
@@ -279,12 +290,12 @@ class MxuNtt:
         borrow = jnp.uint32(0)
         for i in range(w7):
             pi = jnp.uint32(int(p7[i]))
-            qi = q[..., i].astype(jnp.uint32)
+            qi = q[i].astype(jnp.uint32)
             d = qi - pi - borrow
             sub = d & jnp.uint32(0x7F)
             borrow = (d >> 31) & jnp.uint32(1)
             outs.append(jnp.where(ge, sub, qi).astype(jnp.uint8))
-        return jnp.stack(outs, axis=-1)                    # (..., W7) u8
+        return jnp.stack(outs, axis=0)                     # (W7, ...) u8
 
     def _forward(self, x: jnp.ndarray, k1, k2, tw) -> jnp.ndarray:
         """(W16, rows, n) Montgomery -> (W16, rows, n) fft_io output."""
@@ -294,25 +305,25 @@ class MxuNtt:
         w16, rows, n = x.shape
 
         # -- step 1: DFT_A over the jA axis ---------------------------------
-        x7 = _to7(x, w7)                          # (rows, n, W7)
-        x7 = x7.reshape(rows, a, b, w7)
-        x7 = jnp.swapaxes(x7, 1, 2).reshape(rows * b, a, w7)
-        planes = _conv_digits(x7, k1)             # (rows*b, a, 2W7-1)
-        y7 = self._reduce(planes)                 # (rows*b, a, W7) digits
+        x7 = _to7(x, w7)                          # (W7, rows, n)
+        x7 = x7.reshape(w7, rows, a, b)
+        x7 = jnp.swapaxes(x7, 2, 3).reshape(w7, rows * b, a)
+        planes = _conv_digits(x7, k1)             # (2W7-1, rows*b, a)
+        y7 = self._reduce(planes)                 # (W7, rows*b, a) digits
 
         # -- step 2: twiddle multiply (VPU modmul in the 16-limb domain) ----
-        y16 = _from7(y7.reshape(rows, b, a, w7), w16)      # (W16, rows, b, a)
+        y16 = _from7(y7, w16).reshape(w16, rows, b, a)     # (W16, rows, b, a)
         twb = jnp.broadcast_to(tw[:, None], y16.shape)     # [limb, jB, u]
         z16 = ops.mul(y16, twb)
 
         # -- step 3: DFT_B over the jB axis ---------------------------------
-        z7 = _to7(z16, w7)                        # (rows, b, a, W7)
-        z7 = jnp.swapaxes(z7, 1, 2).reshape(rows * a, b, w7)
-        planes = _conv_digits(z7, k2)             # (rows*a, b, 2W7-1)
-        o7 = self._reduce(planes)                 # (rows*a, b, W7)
+        z7 = _to7(z16, w7)                        # (W7, rows, b, a)
+        z7 = jnp.swapaxes(z7, 2, 3).reshape(w7, rows * a, b)
+        planes = _conv_digits(z7, k2)             # (2W7-1, rows*a, b)
+        o7 = self._reduce(planes)                 # (W7, rows*a, b)
 
         # -- assemble: out[row, u*B + v] ------------------------------------
-        o16 = _from7(o7.reshape(rows, a, b, w7), w16)      # (W16, rows, a, b)
+        o16 = _from7(o7, w16)                     # (W16, rows*a, b)
         return o16.reshape(w16, rows, n)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
