@@ -279,6 +279,10 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
         raise ProverError("outer tensor: wrong size")
 
     n_degree_tests_ = enc.get_n_degree_tests()
+    # the eval collapse rides the final degree-test dispatch, so the loop
+    # must run at least once (n_degree_tests >= 1 by construction,
+    # lcpc-2d/src/lib.rs:613-616 — ceil of a positive ratio)
+    assert n_degree_tests_ >= 1
     outer_limbs = ops.encode_host(outer_tensor)  # (W, R) Montgomery
     p_random_vec: list[list[int]] = []
     eval_rows = None
@@ -322,18 +326,6 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
 # ---------------------------------------------------------------------------
 # verify (lib.rs:832-1000)
 # ---------------------------------------------------------------------------
-
-
-@jax.jit
-def _merkle_pair(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-    m = jnp.concatenate([left, right], axis=0)
-    cv = jnp.broadcast_to(
-        jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None], left.shape
-    )
-    return blake3_jax._compress_words(
-        cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
-        jnp.uint32(blake3_jax.CHUNK_START | CHUNK_END_ROOT),
-    )
 
 
 CHUNK_END_ROOT = blake3_jax.CHUNK_END | blake3_jax.ROOT
@@ -406,6 +398,29 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         raise VerifierError("OuterTensor")
     if not enc.dims_ok(n_per_row, n_cols):
         raise VerifierError("EncodingDims")
+
+    # structural validation of the (untrusted) proof before any batching:
+    # the Rust verifier's typed failures come out of slice indexing / the
+    # Merkle walk (lib.rs:862-944); here the batched device core needs
+    # rectangular arrays, so malformed shapes must be rejected up front with
+    # the same error kinds instead of crashing the array builders.
+    if len(proof.p_random_vec) != enc.get_n_degree_tests():
+        raise VerifierError("EncodingDims")
+    for row in proof.p_random_vec:
+        if len(row) != n_per_row:
+            raise VerifierError("EncodingDims")
+        if any(not (0 <= v < spec.p) for v in row):
+            raise VerifierError("EncodingDims")
+    if any(not (0 <= v < spec.p) for v in proof.p_eval):
+        raise VerifierError("EncodingDims")
+    expected_path_len = max(0, _next_pow2(n_cols).bit_length() - 1)
+    for col in proof.columns:
+        if col.col_mont.shape != (ops.w, n_rows):
+            raise VerifierError("ColumnDegree")
+        if len(col.path) != expected_path_len or any(
+            len(h) != 32 for h in col.path
+        ):
+            raise VerifierError("ColumnPath")
 
     # step 1 (host/transcript only): re-derive degree-test tensors and the
     # column challenge — FS order p_random(s) -> p_eval -> columns

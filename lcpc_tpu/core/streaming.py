@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,7 @@ from .protocol import (
 )
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _update_fn(n_cols: int, buf_len: int, n_full: int):
     """Jitted hasher update for static (n_cols, buf_len, n_full).
 
@@ -82,7 +83,7 @@ def _update_fn(n_cols: int, buf_len: int, n_full: int):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _finalize_fn(n_cols: int, rem_words: int, chunks_done: int):
     """Jitted final-partial-chunk processor (static shapes, cached)."""
 
@@ -119,19 +120,34 @@ def _finalize_fn(n_cols: int, rem_words: int, chunks_done: int):
     return jax.jit(fin)
 
 
-@functools.lru_cache(maxsize=None)
+# Per-encoding jit caches keyed WEAKLY on the encoding instance: encodings
+# are constructed per polynomial size, so a strong (lru_cache) key would pin
+# every encoding (plus its jitted executables and, for SdigEncoding, device
+# expander matrices) for process lifetime — a slow HBM/host leak in
+# long-running provers.  Weak keys: entries die with the encoding.
+_encode_pack_cache = weakref.WeakKeyDictionary()
+_encode_gather_cache = weakref.WeakKeyDictionary()
+
+
 def _encode_pack_fn(enc: LcEncoding):
-    ops = get_ops(enc.spec)
-    return jax.jit(
-        lambda block: _pack_words(ops, ops.from_mont(enc.encode_rows(block)))
-    )
+    fn = _encode_pack_cache.get(enc)
+    if fn is None:
+        ops = get_ops(enc.spec)
+        fn = jax.jit(
+            lambda block: _pack_words(ops, ops.from_mont(enc.encode_rows(block)))
+        )
+        _encode_pack_cache[enc] = fn
+    return fn
 
 
-@functools.lru_cache(maxsize=None)
 def _encode_gather_fn(enc: LcEncoding):
-    return jax.jit(
-        lambda block, idx: jnp.take(enc.encode_rows(block), idx, axis=2)
-    )
+    fn = _encode_gather_cache.get(enc)
+    if fn is None:
+        fn = jax.jit(
+            lambda block, idx: jnp.take(enc.encode_rows(block), idx, axis=2)
+        )
+        _encode_gather_cache[enc] = fn
+    return fn
 
 
 class StreamingColumnHasher:
@@ -299,6 +315,7 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
     # fused collapse: one device dispatch + one pull per FS round, with the
     # eval collapse riding the final degree test (see protocol.prove)
     n_degree_tests_ = enc.get_n_degree_tests()
+    assert n_degree_tests_ >= 1  # eval collapse rides the last iteration
     outer_limbs = ops.encode_host(outer_tensor)
     p_random_vec: list[list[int]] = []
     eval_rows = None

@@ -3,8 +3,8 @@ ChaCha20 RNG, and ff/rand-compatible sampling semantics.
 
 These are deliberately host-side: the transcript is tiny and sequential by
 design (lcpc-2d/src/lib.rs:47-49,871,904,1027 uses merlin 2.0), while bulk
-ChaCha20 expansion is vectorized with numpy and, for very large tensors, can
-be delegated to the device kernel in `lcpc_tpu.ops.chacha_jax` (same stream).
+ChaCha20 expansion is vectorized with numpy (the FS tensors are a few hundred
+elements, far below the threshold where a device kernel would pay off).
 """
 
 from .merlin import Transcript

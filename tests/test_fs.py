@@ -17,6 +17,7 @@ from lcpc_tpu.fs.sampling import (
     UniformUsize,
     field_random_scalar,
     field_random_vec,
+    uniform_indices,
 )
 from lcpc_tpu.fields import ALL_FIELDS, FT63
 
@@ -127,3 +128,59 @@ def test_uniform_usize_in_range_and_deterministic():
     assert xs == [dist.sample(r2) for _ in range(1000)]
     # rough uniformity
     assert len(set(xs)) > 500
+
+
+def test_uniform_indices_rejection_rewind_path():
+    """Force the Lemire rejection zone so rewind_u64 actually fires.
+
+    For n just above 2^63 the rejection zone covers ~half of the u64 space
+    (ints_to_reject = (2^64 - n) % n ~ 2^63), so the vectorized
+    uniform_indices hits rejections constantly.  Its output AND the final
+    stream position must match the serial one-at-a-time sampler, which is the
+    Rust-exact form (rand 0.8 UniformInt::sample)."""
+    n = (1 << 63) + 12345
+    count = 64
+    r_vec = ChaCha20Rng.seed_from_u64(1234)
+    got = uniform_indices(n, r_vec, count)
+
+    r_ser = ChaCha20Rng.seed_from_u64(1234)
+    dist = UniformUsize(n)
+    want = [dist.sample(r_ser) for _ in range(count)]
+    assert got == want
+    # stream consumption identical: next draws agree
+    assert [r_vec.next_u64() for _ in range(8)] == [
+        r_ser.next_u64() for _ in range(8)
+    ]
+    # sanity: the zone actually rejected something for this seed/count
+    r_chk = ChaCha20Rng.seed_from_u64(1234)
+    draws = [r_chk.next_u64() for _ in range(count * 2)]
+    assert any((d * n) & ((1 << 64) - 1) > dist.zone for d in draws)
+
+
+def test_rewind_u64_across_buffer_boundary():
+    """rewind_u64 past the current buffer start must recompute blocks."""
+    a = ChaCha20Rng.seed_from_u64(77)
+    b = ChaCha20Rng.seed_from_u64(77)
+    # advance a to an almost-consumed buffer: 31 u64 = 62 of 64 words
+    for _ in range(31):
+        a.next_u64()
+    # bulk draw takes the 2 leftover words + a fresh refill (index becomes 4)
+    a.next_u64_array(3)
+    # rewind 3 u64 (6 words) > index (4): crosses the buffer boundary
+    a.rewind_u64(3)
+    # a is now at absolute position 31; b consumed naturally
+    for _ in range(31):
+        b.next_u64()
+    assert [a.next_u64() for _ in range(10)] == [b.next_u64() for _ in range(10)]
+
+
+def test_uniform_indices_matches_serial_small_n():
+    # the common protocol regime (tiny rejection zone): bulk path, no rewind
+    for seed in (1, 2, 3):
+        rv = ChaCha20Rng.seed_from_u64(seed)
+        rs = ChaCha20Rng.seed_from_u64(seed)
+        dist = UniformUsize(65536)
+        assert uniform_indices(65536, rv, 309) == [
+            dist.sample(rs) for _ in range(309)
+        ]
+        assert rv.next_u64() == rs.next_u64()

@@ -135,3 +135,71 @@ def test_tamper_rejection(setup):
     bad_outer[0] = (bad_outer[0] + 1) % spec.p
     with pytest.raises(protocol.VerifierError):
         pf2.verify(root, bad_outer, inner, enc, _preamble(enc, root))
+
+
+def test_malformed_proof_typed_errors(setup):
+    """Structurally invalid proofs raise typed VerifierErrors, never
+    IndexError/ValueError (reference error kinds, lcpc-2d/src/lib.rs:136-166)."""
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    root = comm.get_root()
+    x = random.Random(8).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, comm.n_per_row, comm.n_rows)
+
+    def fresh_proof():
+        return comm.prove(outer, _preamble(enc, root))
+
+    import copy
+
+    def expect(kind, mutate):
+        pf = fresh_proof()
+        pf.columns = [
+            protocol.LcColumn(col_mont=c.col_mont.copy(), path=list(c.path))
+            for c in pf.columns
+        ]
+        pf.p_random_vec = copy.deepcopy(pf.p_random_vec)
+        pf.p_eval = list(pf.p_eval)
+        mutate(pf)
+        with pytest.raises(protocol.VerifierError) as ei:
+            pf.verify(root, outer, inner, enc, _preamble(enc, root))
+        assert ei.value.kind == kind, (ei.value.kind, kind)
+
+    # wrong number of opened columns
+    expect("NumColOpens", lambda pf: pf.columns.pop())
+    # truncated p_random_vec (missing degree test)
+    expect("EncodingDims", lambda pf: pf.p_random_vec.pop())
+    # truncated p_random row
+    expect("EncodingDims", lambda pf: pf.p_random_vec[0].pop())
+    # out-of-field value in p_random
+    expect("EncodingDims",
+           lambda pf: pf.p_random_vec[0].__setitem__(0, spec.p))
+    # out-of-field value in p_eval
+    expect("EncodingDims", lambda pf: pf.p_eval.__setitem__(0, spec.p + 1))
+    # ragged Merkle path (short)
+    expect("ColumnPath", lambda pf: pf.columns[3].path.pop())
+    # wrong-length sibling digest
+    expect("ColumnPath",
+           lambda pf: pf.columns[0].path.__setitem__(0, b"\x00" * 31))
+    # column with wrong row count
+    expect("ColumnDegree",
+           lambda pf: setattr(pf.columns[2], "col_mont",
+                              pf.columns[2].col_mont[:, :-1]))
+    # truncated p_eval flips n_per_row; the inner-tensor length check fires
+    # first (same order as lib.rs:852-854)
+    expect("InnerTensor", lambda pf: pf.p_eval.pop())
+
+
+def test_verifier_error_inner_outer_tensor(setup):
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    root = comm.get_root()
+    x = random.Random(9).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, comm.n_per_row, comm.n_rows)
+    pf = comm.prove(outer, _preamble(enc, root))
+
+    with pytest.raises(protocol.VerifierError) as ei:
+        pf.verify(root, outer, inner[:-1], enc, _preamble(enc, root))
+    assert ei.value.kind == "InnerTensor"
+    with pytest.raises(protocol.VerifierError) as ei:
+        pf.verify(root, outer[:-1], inner, enc, _preamble(enc, root))
+    assert ei.value.kind == "OuterTensor"
