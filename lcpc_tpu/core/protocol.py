@@ -239,13 +239,10 @@ def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]):
     return _repr_rows_to_ints(rows), rows
 
 
-def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
-    """Extract columns + Merkle paths (open_column, lib.rs:788-825)."""
-    idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
-    gathered_dev = jnp.take(comm.comm, idx, axis=2)  # (W, R, k), async
-    n_cols_np2 = _next_pow2(comm.n_cols)
+def merkle_paths(hashes: np.ndarray, n_cols: int, cols: list[int]) -> list[list[bytes]]:
+    """Sibling paths for `cols` out of the flat hashes array (lib.rs:788-825)."""
+    n_cols_np2 = _next_pow2(n_cols)
     path_len = max(0, n_cols_np2.bit_length() - 1)
-    out = []
     # layer offsets within the flat hashes array
     offsets = []
     off = 0
@@ -257,25 +254,43 @@ def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
             break
         size //= 2
     paths = []
-    for c in cols:  # host path extraction overlaps the device gather
+    for c in cols:
         path = []
         cc = c
         for lvl in range(path_len):
             sib = cc ^ 1
-            path.append(bytes(comm.hashes[offsets[lvl] + sib]))
+            path.append(bytes(hashes[offsets[lvl] + sib]))
             cc >>= 1
         paths.append(path)
+    return paths
+
+
+def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
+    """Extract columns + Merkle paths (open_column, lib.rs:788-825)."""
+    idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
+    gathered_dev = jnp.take(comm.comm, idx, axis=2)  # (W, R, k), async
+    # host path extraction overlaps the device gather
+    paths = merkle_paths(comm.hashes, comm.n_cols, cols)
     gathered = np.asarray(gathered_dev)
-    for k, path in enumerate(paths):
-        out.append(LcColumn(col_mont=gathered[:, :, k], path=path))
-    return out
+    return [
+        LcColumn(col_mont=gathered[:, :, k], path=path)
+        for k, path in enumerate(paths)
+    ]
 
 
-def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
-          tr: Transcript) -> LcEvalProof:
+def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
+               outer_tensor: list[int], collapse_words_fn, open_columns_fn,
+               ) -> LcEvalProof:
+    """Fiat-Shamir choreography of prove (lib.rs:1004-1093), backend-agnostic.
+
+    collapse_words_fn: (W, T, n_rows) Montgomery np tensor stack ->
+        (T, n_per_row, W/2) canonical wire words (single- or multi-device).
+    open_columns_fn: list of column indices -> list[LcColumn].
+    The FS order p_random(s) -> p_eval -> column indices is load-bearing.
+    """
     spec = enc.spec
     ops = get_ops(spec)
-    if len(outer_tensor) != comm.n_rows:
+    if len(outer_tensor) != n_rows:
         raise ProverError("outer tensor: wrong size")
 
     n_degree_tests_ = enc.get_n_degree_tests()
@@ -289,7 +304,7 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     for i in range(n_degree_tests_):
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
         rng = ChaCha20Rng(key)
-        rand_tensor = field_random_vec(spec, rng, comm.n_rows)
+        rand_tensor = field_random_vec(spec, rng, n_rows)
         t = ops.encode_host(rand_tensor)
         # the eval collapse has no transcript dependency, so it rides the
         # final degree test's device call: one dispatch, one host pull
@@ -297,9 +312,7 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
             ts = np.stack([t, outer_limbs], axis=1)  # (W, 2, R)
         else:
             ts = t[:, None, :]
-        words = np.asarray(
-            ops.collapse_words(jnp.asarray(ts), comm.coeffs)
-        )  # (T, n_per_row, W/2) canonical wire words
+        words = collapse_words_fn(ts)  # (T, n_per_row, W/2) canonical words
         rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
         p_random_vec.append(_repr_rows_to_ints(rows))
@@ -312,14 +325,27 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     n_col_opens = enc.get_n_col_opens()
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
     cols_rng = ChaCha20Rng(key)
-    cols_to_open = uniform_indices(comm.n_cols, cols_rng, n_col_opens)
-    columns = _open_columns(comm, cols_to_open)
+    cols_to_open = uniform_indices(n_cols, cols_rng, n_col_opens)
+    columns = open_columns_fn(cols_to_open)
 
     return LcEvalProof(
-        n_cols=comm.n_cols,
+        n_cols=n_cols,
         p_eval=p_eval,
         p_random_vec=p_random_vec,
         columns=columns,
+    )
+
+
+def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
+          tr: Transcript) -> LcEvalProof:
+    ops = get_ops(enc.spec)
+
+    def collapse_words_fn(ts: np.ndarray) -> np.ndarray:
+        return np.asarray(ops.collapse_words(jnp.asarray(ts), comm.coeffs))
+
+    return prove_core(
+        enc, tr, comm.n_rows, comm.n_cols, outer_tensor,
+        collapse_words_fn, functools.partial(_open_columns, comm),
     )
 
 

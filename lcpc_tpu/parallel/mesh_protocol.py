@@ -1,0 +1,269 @@
+"""Full multi-device protocol: sharded commit -> openable state -> prove.
+
+The TPU-native analogue of the reference's rayon parallelism
+(lcpc-2d/src/lib.rs:622-1123, SURVEY.md §2.2), as a real protocol rather than
+a kernel demo:
+
+- commit: the n_rows independent row encodes are sharded over the mesh's "r"
+  axis (zero communication); a single all_to_all over ICI reshards the
+  codeword rows->columns so each device hashes full columns locally; the leaf
+  digests (tiny: n_cols x 32 B) are all_gathered and the Merkle tree above
+  them is computed replicated — identical, layer by layer, to the serial
+  tree, so the resulting `hashes` array is byte-identical to LcCommit's and
+  columns can be opened from it.
+- prove: collapse_columns is a local modular vector-matrix product over each
+  device's row shard plus a modular reduction across the mesh (the psum
+  analogue, exact mod p so the collapsed values — and therefore the whole
+  Fiat-Shamir transcript and proof — are bit-identical to single-device);
+  column openings gather from the column-sharded codeword.
+- verify: unchanged (the verifier is cheap and single-device by design).
+
+Non-power-of-two codeword lengths (Brakedown) are handled by padding the
+column axis to a multiple of the mesh for the all_to_all and dropping the pad
+leaves before the (replicated) zero-padded Merkle build, reproducing the
+serial tree exactly (lib.rs:690-704 pads leaves with default digests).
+Row counts that do not divide the mesh are padded with zero rows, which are
+sliced off before hashing and contribute zero to every collapse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import weakref
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.encoding import LcEncoding
+from ..core import protocol
+from ..core.protocol import LcColumn, LcEvalProof, _next_pow2, _pack_words
+from ..fs.merlin import Transcript
+from ..ops import blake3_jax
+from ..ops.limbs import get_ops
+
+
+def make_mesh(devices=None, axis: str = "r") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class ShardedCommit:
+    """Prover state living on a device mesh; openable like LcCommit."""
+
+    enc: LcEncoding
+    mesh: Mesh
+    coeffs: jax.Array     # (W, n_rows_pad, n_per_row), rows sharded
+    comm_cols: jax.Array  # (W, n_rows_pad, nc_pad), columns sharded
+    n_rows: int           # true row count (pad rows are zero)
+    n_per_row: int
+    n_cols: int           # true codeword length (pad columns dropped)
+    hashes: np.ndarray    # full flat Merkle array, byte-identical to serial
+
+    def get_root(self) -> bytes:
+        return bytes(self.hashes[-1])
+
+    def get_n_rows(self) -> int:
+        return self.n_rows
+
+    def get_n_per_row(self) -> int:
+        return self.n_per_row
+
+    def get_n_cols(self) -> int:
+        return self.n_cols
+
+    def prove(self, outer_tensor: list[int], tr: Transcript) -> LcEvalProof:
+        return sharded_prove(self, outer_tensor, tr)
+
+
+# ---------------------------------------------------------------------------
+# commit
+# ---------------------------------------------------------------------------
+
+
+# Per-encoding jit caches keyed WEAKLY on the encoding instance (encodings
+# are built per polynomial size; strong keys would pin them — see streaming.py)
+_commit_fn_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_collapse_fn_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int):
+    per_enc = _commit_fn_cache.setdefault(enc, {})
+    key = (mesh, n_rows, n_rows_pad)
+    if key not in per_enc:
+        per_enc[key] = _build_commit_fn(enc, mesh, n_rows, n_rows_pad)
+    return per_enc[key]
+
+
+def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int):
+    """Jitted sharded commit: coeffs (W, Rp, np) row-sharded ->
+    (flat hash layers (8, 2*np2-1) replicated, comm_cols column-sharded)."""
+    ops = get_ops(enc.spec)
+    n_dev = mesh.devices.size
+    nc = enc.n_cols
+    nc_pad = _round_up(nc, n_dev)
+    np2 = _next_pow2(nc)
+    axis = mesh.axis_names[0]
+
+    def local_fn(coeffs_local: jnp.ndarray):
+        # 1. row-parallel encode (zero communication)
+        comm_local = enc.encode_rows(coeffs_local)  # (W, Rp/n, nc)
+        if nc_pad > nc:
+            comm_local = jnp.pad(comm_local, [(0, 0), (0, 0), (0, nc_pad - nc)])
+        # 2. reshard rows -> columns with one all_to_all over ICI
+        comm_cols = jax.lax.all_to_all(
+            comm_local, axis, split_axis=2, concat_axis=1, tiled=True
+        )  # (W, Rp, nc_pad/n)
+        # 3. hash full columns locally (pad rows sliced off: the column hash
+        #    covers exactly n_rows elements, lib.rs:706-745)
+        canon = ops.from_mont(comm_cols[:, :n_rows, :])
+        words = _pack_words(ops, canon)
+        leaves_local = blake3_jax.hash_word_columns(words)  # (8, nc_pad/n)
+        # 4. replicate the tiny leaf layer and build the full Merkle tree on
+        #    every device — identical layers to the serial merkleize
+        leaves = jax.lax.all_gather(
+            leaves_local, axis, axis=1, tiled=True
+        )  # (8, nc_pad)
+        leaves = leaves[:, :nc]
+        if np2 > nc:
+            leaves = jnp.pad(leaves, [(0, 0), (0, np2 - nc)])
+        layers = [leaves]
+        while layers[-1].shape[1] > 1:
+            layers.append(blake3_jax.merkle_layer(layers[-1]))
+        flat = jnp.concatenate(layers, axis=1)  # (8, 2*np2-1)
+        return flat, comm_cols
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(None, axis, None),
+        out_specs=(P(), P(None, None, axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh) -> ShardedCommit:
+    """Commit over the mesh; `hashes` is byte-identical to protocol.commit.
+
+    `coeffs` is a list of canonical ints or a (W, N) uint32 Montgomery limb
+    array (same contract as protocol.commit, lib.rs:622-671).
+    """
+    ops = get_ops(enc.spec)
+    if isinstance(coeffs, list):
+        length = len(coeffs)
+        arr = np.asarray(ops.encode_host(coeffs))
+    else:
+        arr = np.asarray(jax.device_get(coeffs))
+        assert arr.ndim == 2 and arr.shape[0] == ops.w
+        length = arr.shape[1]
+
+    n_rows, n_per_row, n_cols = enc.get_dims(length)
+    assert enc.dims_ok(n_per_row, n_cols)
+    n_dev = mesh.devices.size
+    n_rows_pad = _round_up(n_rows, n_dev)
+
+    pad = n_rows_pad * n_per_row - length
+    if pad:
+        arr = np.pad(arr, [(0, 0), (0, pad)])
+    mat = arr.reshape(ops.w, n_rows_pad, n_per_row)
+    axis = mesh.axis_names[0]
+    coeffs_sh = jax.device_put(mat, NamedSharding(mesh, P(None, axis, None)))
+
+    flat, comm_cols = _commit_fn(enc, mesh, n_rows, n_rows_pad)(coeffs_sh)
+    hashes = blake3_jax.digests_to_bytes(jax.device_get(flat))
+
+    return ShardedCommit(
+        enc=enc, mesh=mesh, coeffs=coeffs_sh, comm_cols=comm_cols,
+        n_rows=n_rows, n_per_row=n_per_row, n_cols=n_cols, hashes=hashes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# prove
+# ---------------------------------------------------------------------------
+
+
+def _collapse_fn(enc: LcEncoding, mesh: Mesh):
+    # jit itself re-traces per T shape, so one entry per mesh suffices
+    per_enc = _collapse_fn_cache.setdefault(enc, {})
+    if mesh not in per_enc:
+        per_enc[mesh] = _build_collapse_fn(enc, mesh)
+    return per_enc[mesh]
+
+
+def _build_collapse_fn(enc: LcEncoding, mesh: Mesh):
+    """Jitted sharded collapse: ts (W, T, Rp) row-sharded x coeffs (W, Rp, np)
+    row-sharded -> (T, np, W/2) canonical wire words, replicated.
+
+    Local partial collapse (fused lazy-reduction kernel) + modular tree-add
+    across the mesh — the exact field value, so bit-identical to the
+    single-device ops.collapse_words (collapse_columns, lib.rs:1095-1123).
+    """
+    ops = get_ops(enc.spec)
+    axis = mesh.axis_names[0]
+
+    def local_fn(ts_local, coeffs_local):
+        part = ops.collapse_canon(ts_local, coeffs_local)  # (W, T, np) canonical
+        parts = jax.lax.all_gather(part, axis, axis=1, tiled=False)
+        tot = ops.sum(parts, axis=1)  # modular tree-add of canonical partials
+        words = tot[0::2] | (tot[1::2] << jnp.uint32(16))  # (W/2, T, np)
+        return jnp.transpose(words, (1, 2, 0))
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, axis, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _gather_fn(mesh: Mesh):
+    def gather(comm_cols, idx):
+        return jnp.take(comm_cols, idx, axis=2)
+
+    return jax.jit(gather, out_shardings=NamedSharding(mesh, P()))
+
+
+def sharded_prove(comm: ShardedCommit, outer_tensor: list[int],
+                  tr: Transcript) -> LcEvalProof:
+    """prove() against a ShardedCommit; proof bytes match the serial prover."""
+    enc = comm.enc
+    mesh = comm.mesh
+    axis = mesh.axis_names[0]
+    n_rows_pad = comm.coeffs.shape[1]
+
+    def collapse_words_fn(ts: np.ndarray) -> np.ndarray:
+        w, t, r = ts.shape
+        assert r == comm.n_rows
+        if n_rows_pad > r:
+            ts = np.pad(ts, [(0, 0), (0, 0), (0, n_rows_pad - r)])
+        ts_sh = jax.device_put(ts, NamedSharding(mesh, P(None, None, axis)))
+        return np.asarray(
+            jax.device_get(_collapse_fn(enc, mesh)(ts_sh, comm.coeffs))
+        )
+
+    def open_columns_fn(cols: list[int]) -> list[LcColumn]:
+        idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
+        gathered_dev = _gather_fn(mesh)(comm.comm_cols, idx)  # (W, Rp, k)
+        paths = protocol.merkle_paths(comm.hashes, comm.n_cols, cols)
+        gathered = np.asarray(jax.device_get(gathered_dev))[:, : comm.n_rows, :]
+        return [
+            LcColumn(col_mont=gathered[:, :, k], path=path)
+            for k, path in enumerate(paths)
+        ]
+
+    return protocol.prove_core(
+        enc, tr, comm.n_rows, comm.n_cols, outer_tensor,
+        collapse_words_fn, open_columns_fn,
+    )
