@@ -90,7 +90,28 @@ def main():
     log(f"prove compile+1st: {time.time() - t0:.3f}s")
     t0 = time.time()
     pf = run_prove()
-    log(f"prove warm: {time.time() - t0:.3f}s (baseline 64c 2^21: 0.0187s)")
+    prove_s = time.time() - t0
+    log(f"prove warm: {prove_s:.3f}s (baseline 64c 2^21: 0.0187s)")
+
+    from lcpc_tpu.core import protocol as _protocol
+
+    inner = [pow(x, i, spec.p) for i in range(n_per_row)]
+    root = comm.get_root()
+
+    def run_verify(proof):
+        tr = Transcript(b"test transcript")
+        tr.append_message(b"polycommit", root)
+        tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
+        return _protocol.verify(root, outer, inner, proof, enc, tr)
+
+    t0 = time.time()
+    run_verify(pf)
+    log(f"verify compile+1st: {time.time() - t0:.3f}s")
+    pf = run_prove()  # fresh rows-backed proof (ints untouched)
+    t0 = time.time()
+    run_verify(pf)
+    verify_s = time.time() - t0
+    log(f"verify warm: {verify_s:.3f}s (baseline 64c 2^21: 0.0273s)")
 
     from lcpc_tpu.core import wire
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -88,20 +89,82 @@ class LcColumn:
     path: list[bytes]
 
 
-@dataclasses.dataclass
 class LcEvalProof:
-    """Evaluation proof (lib.rs:491-500)."""
+    """Evaluation proof (lib.rs:491-500).
 
-    n_cols: int
-    p_eval: list[int]               # canonical values
-    p_random_vec: list[list[int]]   # canonical values
-    columns: list[LcColumn]
+    The row vectors are held in EITHER of two equivalent forms: packed
+    canonical to_repr rows ((n, repr_bytes) uint8, the form the prover's
+    device collapse emits and the transcript absorbs) or lists of Python
+    ints.  Converting 2^14+ reprs to bigints costs tens of ms, so the prover
+    stores rows and the int lists materialize lazily on first access; a
+    materialized list may be mutated by the caller (the reference's proof
+    structs are plain data), so materializing invalidates the rows and all
+    consumers fall back to the int form.
+    """
+
+    def __init__(self, n_cols: int, p_eval=None, p_random_vec=None,
+                 columns=None, *, p_eval_rows=None, p_random_rows=None):
+        self.n_cols = n_cols
+        self.columns: list[LcColumn] = columns
+        assert (p_eval is None) != (p_eval_rows is None)
+        assert (p_random_vec is None) != (p_random_rows is None)
+        self._p_eval = p_eval
+        self._p_eval_rows = p_eval_rows
+        self._p_random_vec = p_random_vec
+        self._p_random_rows = p_random_rows
+
+    # -- lazy int views (mutable, like the reference's pub Vec fields) ---------
+
+    @property
+    def p_eval(self) -> list[int]:
+        if self._p_eval is None:
+            self._p_eval = _repr_rows_to_ints(self._p_eval_rows)
+            self._p_eval_rows = None  # the list may be mutated; rows go stale
+        return self._p_eval
+
+    @p_eval.setter
+    def p_eval(self, v: list[int]) -> None:
+        self._p_eval = v
+        self._p_eval_rows = None
+
+    @property
+    def p_random_vec(self) -> list[list[int]]:
+        if self._p_random_vec is None:
+            self._p_random_vec = [
+                _repr_rows_to_ints(r) for r in self._p_random_rows
+            ]
+            self._p_random_rows = None
+        return self._p_random_vec
+
+    @p_random_vec.setter
+    def p_random_vec(self, v: list[list[int]]) -> None:
+        self._p_random_vec = v
+        self._p_random_rows = None
+
+    # -- repr-row views (fast path for verify/serialize) ------------------------
+
+    def p_eval_as_rows(self, spec) -> np.ndarray:
+        if self._p_eval_rows is not None:
+            return self._p_eval_rows
+        return _ints_to_repr_rows(spec, self._p_eval)
+
+    def n_degree_rows(self) -> int:
+        if self._p_random_rows is not None:
+            return len(self._p_random_rows)
+        return len(self._p_random_vec)
+
+    def p_random_as_rows(self, spec, i: int) -> np.ndarray:
+        if self._p_random_rows is not None:
+            return self._p_random_rows[i]
+        return _ints_to_repr_rows(spec, self._p_random_vec[i])
 
     def get_n_cols(self) -> int:
         return self.n_cols
 
     def get_n_per_row(self) -> int:
-        return len(self.p_eval)
+        if self._p_eval is not None:
+            return len(self._p_eval)
+        return self._p_eval_rows.shape[0]
 
     def verify(self, root: bytes, outer_tensor: list[int], inner_tensor: list[int],
                enc: LcEncoding, tr: Transcript) -> int:
@@ -220,10 +283,17 @@ def _words_to_repr_rows(words: np.ndarray) -> np.ndarray:
     return w32.view(np.uint8).reshape(words.shape[0], -1)
 
 
-def _repr_rows_to_limbs(rows: np.ndarray) -> np.ndarray:
-    """(n, 2W) uint8 repr rows -> (W, n) uint32 canonical 16-bit limbs."""
+def _rows_lt_p(spec, rows: np.ndarray) -> bool:
+    """Vectorized canonical-range check: every repr row < p."""
     u16 = rows.view("<u2")  # (n, W)
-    return np.ascontiguousarray(u16.T).astype(np.uint32)
+    n, w = u16.shape
+    lt = np.zeros(n, dtype=bool)
+    eq = np.ones(n, dtype=bool)
+    for i in range(w - 1, -1, -1):
+        pi = (spec.p >> (16 * i)) & 0xFFFF
+        lt |= eq & (u16[:, i] < pi)
+        eq &= u16[:, i] == pi
+    return bool(lt.all())
 
 
 def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]):
@@ -265,13 +335,31 @@ def merkle_paths(hashes: np.ndarray, n_cols: int, cols: list[int]) -> list[list[
     return paths
 
 
+@jax.jit
+def _gather_packed(comm_arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather columns and pack limb pairs to u32 words: halves the bytes on
+    the device->host link, which is the prover's bottleneck (~25 MB/s over
+    the tunnel this runs behind)."""
+    g = jnp.take(comm_arr, idx, axis=2)  # (W, R, k)
+    return g[0::2] | (g[1::2] << jnp.uint32(16))  # (W/2, R, k)
+
+
+def _unpack_cols(words: np.ndarray) -> np.ndarray:
+    """(W/2, R, k) u32 words -> (W, R, k) u32 16-bit limbs."""
+    half, r, k = words.shape
+    out = np.empty((2 * half, r, k), dtype=np.uint32)
+    out[0::2] = words & np.uint32(0xFFFF)
+    out[1::2] = words >> np.uint32(16)
+    return out
+
+
 def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
     """Extract columns + Merkle paths (open_column, lib.rs:788-825)."""
     idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
-    gathered_dev = jnp.take(comm.comm, idx, axis=2)  # (W, R, k), async
+    gathered_dev = _gather_packed(comm.comm, idx)  # (W/2, R, k), async
     # host path extraction overlaps the device gather
     paths = merkle_paths(comm.hashes, comm.n_cols, cols)
-    gathered = np.asarray(gathered_dev)
+    gathered = _unpack_cols(np.asarray(gathered_dev))
     return [
         LcColumn(col_mont=gathered[:, :, k], path=path)
         for k, path in enumerate(paths)
@@ -299,7 +387,7 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
     # lcpc-2d/src/lib.rs:613-616 — ceil of a positive ratio)
     assert n_degree_tests_ >= 1
     outer_limbs = ops.encode_host(outer_tensor)  # (W, R) Montgomery
-    p_random_vec: list[list[int]] = []
+    p_random_rows: list[np.ndarray] = []
     eval_rows = None
     for i in range(n_degree_tests_):
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
@@ -315,12 +403,11 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
         words = collapse_words_fn(ts)  # (T, n_per_row, W/2) canonical words
         rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
-        p_random_vec.append(_repr_rows_to_ints(rows))
+        p_random_rows.append(rows)
         if i == n_degree_tests_ - 1:
             eval_rows = _words_to_repr_rows(words[1])
 
     tr.append_elements(enc.LABEL_PE, eval_rows)
-    p_eval = _repr_rows_to_ints(eval_rows)
 
     n_col_opens = enc.get_n_col_opens()
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
@@ -330,8 +417,8 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
 
     return LcEvalProof(
         n_cols=n_cols,
-        p_eval=p_eval,
-        p_random_vec=p_random_vec,
+        p_eval_rows=eval_rows,
+        p_random_rows=p_random_rows,
         columns=columns,
     )
 
@@ -357,24 +444,58 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
 CHUNK_END_ROOT = blake3_jax.CHUNK_END | blake3_jax.ROOT
 
 
+def _unpack_words_dev(words: jnp.ndarray) -> jnp.ndarray:
+    """(W/2, ...) u32 words -> (W, ...) u32 16-bit limbs (device)."""
+    lo = words & jnp.uint32(0xFFFF)
+    hi = words >> jnp.uint32(16)
+    return jnp.stack([lo, hi], axis=1).reshape(-1, *words.shape[1:])
+
+
+# weak-keyed per-encoding cache (encodings are per-size; see streaming.py)
+_rows_encode_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _rows_encode_fn(enc: LcEncoding):
+    """Jitted: packed repr words (T, npr, W/2) -> encoded rows (W, T, n_cols).
+
+    Kept as its own dispatch (it pipelines with the verify core) because
+    inlining the encode ladder into the core graph multiplies compile time.
+    """
+    fn = _rows_encode_cache.get(enc)
+    if fn is None:
+        ops = get_ops(enc.spec)
+        if hasattr(enc, "_device_mats"):
+            enc._device_mats()  # materialize device constants outside the trace
+
+        def rows_encode(rows_w):
+            rows_raw = _unpack_words_dev(jnp.transpose(rows_w, (2, 0, 1)))
+            return enc.encode_rows(ops.to_mont(rows_raw))
+
+        fn = jax.jit(rows_encode)
+        _rows_encode_cache[enc] = fn
+    return fn
+
+
 @functools.lru_cache(maxsize=None)
 def _verify_core_fn(ops):
-    """Jitted single-dispatch verifier core for one field's ops.
+    """Jitted verifier core for one field's ops.
 
-    Inputs (all device):
+    Inputs (all device; the big operands ride the host->device link as
+    packed u32 words — half the bytes of the u32 limb form, and the link is
+    the verifier's bottleneck):
+      enc_rows  (W, T, n_cols) Montgomery — encoded [p_random..., p_eval]
       ts        (W, T, R)  Montgomery — [rand_tensors..., outer_tensor]
-      col_mat   (W, R, k)  Montgomery — opened column values
-      rows_raw  (W, T, n_per_row) canonical — [p_random..., p_eval] rows
+      col_w     (W/2, R, k) u32 — opened column values, packed Montgomery
       idx       (k,) int32 — opened column indices
       sibs      (L, 8, k) u32 — Merkle sibling digests per level
       bits      (L, k) bool — is-right bit of the walk at each level
       root_w    (8,) u32 — expected root digest words
     Returns (T+2,) u32 flags: per-row dot check [0..T), path check [T],
-    (slot T+1 reserved/unused).  Encoding of the proof rows happens in the
-    caller (it needs enc.encode_rows, which may itself be jitted).
+    (slot T+1 reserved/unused).
     """
 
-    def core(enc_rows, ts, col_mat, idx, sibs, bits, root_w):
+    def core(enc_rows, ts, col_w, idx, sibs, bits, root_w):
+        col_mat = _unpack_words_dev(col_w)                # (W, R, k)
         got = ops.collapse_canon(ts, col_mat)             # (W, T, k) canonical
         want = ops.from_mont(jnp.take(enc_rows, idx, axis=2))
         ok_rows = jnp.all(got == want, axis=(0, 2))       # (T,)
@@ -430,14 +551,22 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     # Merkle walk (lib.rs:862-944); here the batched device core needs
     # rectangular arrays, so malformed shapes must be rejected up front with
     # the same error kinds instead of crashing the array builders.
-    if len(proof.p_random_vec) != enc.get_n_degree_tests():
+    n_degree_tests_ = enc.get_n_degree_tests()
+    if proof.n_degree_rows() != n_degree_tests_:
         raise VerifierError("EncodingDims")
-    for row in proof.p_random_vec:
-        if len(row) != n_per_row:
+    try:
+        # int-backed proofs re-encode here; to_repr's range assert rejects
+        # out-of-range elements (row-backed proofs are range-checked below)
+        p_random_rows = [
+            proof.p_random_as_rows(spec, i) for i in range(n_degree_tests_)
+        ]
+        p_eval_rows = proof.p_eval_as_rows(spec)
+    except (AssertionError, OverflowError):
+        raise VerifierError("EncodingDims")
+    for rows_i in p_random_rows:
+        if rows_i.shape[0] != n_per_row or not _rows_lt_p(spec, rows_i):
             raise VerifierError("EncodingDims")
-        if any(not (0 <= v < spec.p) for v in row):
-            raise VerifierError("EncodingDims")
-    if any(not (0 <= v < spec.p) for v in proof.p_eval):
+    if not _rows_lt_p(spec, p_eval_rows):
         raise VerifierError("EncodingDims")
     expected_path_len = max(0, _next_pow2(n_cols).bit_length() - 1)
     for col in proof.columns:
@@ -450,18 +579,13 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
 
     # step 1 (host/transcript only): re-derive degree-test tensors and the
     # column challenge — FS order p_random(s) -> p_eval -> columns
-    n_degree_tests_ = enc.get_n_degree_tests()
     rand_tensors: list[list[int]] = []
-    p_random_rows: list[np.ndarray] = []
     for i in range(n_degree_tests_):
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
         rng = ChaCha20Rng(key)
         rand_tensors.append(field_random_vec(spec, rng, n_rows))
-        rows_i = _ints_to_repr_rows(spec, proof.p_random_vec[i])
-        p_random_rows.append(rows_i)
-        tr.append_elements(enc.LABEL_PR, rows_i)
+        tr.append_elements(enc.LABEL_PR, p_random_rows[i])
 
-    p_eval_rows = _ints_to_repr_rows(spec, proof.p_eval)
     tr.append_elements(enc.LABEL_PE, p_eval_rows)
 
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
@@ -469,20 +593,21 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     cols_to_open = uniform_indices(n_cols, cols_rng, n_col_opens)
 
     # step 2 (device, one dispatch + one pull): encode the proof rows, check
-    # every opened column's degree/eval dot products and Merkle path
+    # every opened column's degree/eval dot products and Merkle path.  The
+    # rows and columns ride the link as packed u32 words (half the bytes).
     T = n_degree_tests_ + 1
-    rows_raw = np.stack(
-        [_repr_rows_to_limbs(r) for r in p_random_rows]
-        + [_repr_rows_to_limbs(p_eval_rows)],
-        axis=1,
-    )  # (W, T, n_per_row) canonical
-    enc_rows = enc.encode_rows(ops.to_mont(jnp.asarray(rows_raw)))  # (W, T, n_cols)
+    rows_w = np.stack(
+        [np.ascontiguousarray(r).view("<u4") for r in p_random_rows]
+        + [np.ascontiguousarray(p_eval_rows).view("<u4")],
+        axis=0,
+    )  # (T, n_per_row, W/2) canonical repr words
 
     ts = np.stack(
         [ops.encode_host(t) for t in rand_tensors] + [ops.encode_host(outer_tensor)],
         axis=1,
     )  # (W, T, n_rows) Montgomery
     col_mat = np.stack([c.col_mont for c in proof.columns], axis=2)  # (W, R, k)
+    col_w = col_mat[0::2] | (col_mat[1::2] << np.uint32(16))  # (W/2, R, k)
     idx = np.asarray(cols_to_open, dtype=np.int32)
 
     path_len = len(proof.columns[0].path)
@@ -496,10 +621,12 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     bits = ((col_bits[None, :] >> np.arange(path_len)[:, None]) & 1).astype(bool)
     root_w = np.frombuffer(root, dtype="<u4").astype(np.uint32)
 
+    enc_rows = _rows_encode_fn(enc)(jnp.asarray(rows_w))  # async dispatch
     flags = np.asarray(
         _verify_core_fn(ops)(
-            enc_rows, jnp.asarray(ts), jnp.asarray(col_mat), jnp.asarray(idx),
-            jnp.asarray(sibs), jnp.asarray(bits), jnp.asarray(root_w),
+            enc_rows, jnp.asarray(ts), jnp.asarray(col_w),
+            jnp.asarray(idx), jnp.asarray(sibs), jnp.asarray(bits),
+            jnp.asarray(root_w),
         )
     )
     for i in range(n_degree_tests_):

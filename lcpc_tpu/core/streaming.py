@@ -39,7 +39,6 @@ from .protocol import (
     _next_pow2,
     _open_columns,
     _pack_words,
-    _repr_rows_to_ints,
     _words_to_repr_rows,
 )
 
@@ -317,7 +316,7 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
     n_degree_tests_ = enc.get_n_degree_tests()
     assert n_degree_tests_ >= 1  # eval collapse rides the last iteration
     outer_limbs = ops.encode_host(outer_tensor)
-    p_random_vec: list[list[int]] = []
+    p_random_rows: list[np.ndarray] = []
     eval_rows = None
     for i in range(n_degree_tests_):
         key = tr.challenge_bytes(enc.LABEL_DT, 32)
@@ -330,12 +329,11 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         words = np.asarray(ops.collapse_words(jnp.asarray(ts), comm.coeffs))
         rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
-        p_random_vec.append(_repr_rows_to_ints(rows))
+        p_random_rows.append(rows)
         if i == n_degree_tests_ - 1:
             eval_rows = _words_to_repr_rows(words[1])
 
     tr.append_elements(enc.LABEL_PE, eval_rows)
-    p_eval = _repr_rows_to_ints(eval_rows)
 
     key = tr.challenge_bytes(enc.LABEL_CO, 32)
     cols_to_open = uniform_indices(
@@ -374,6 +372,6 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         columns.append(LcColumn(col_mont=col_mat[:, :, k], path=path))
 
     return LcEvalProof(
-        n_cols=comm.n_cols, p_eval=p_eval, p_random_vec=p_random_vec,
+        n_cols=comm.n_cols, p_eval_rows=eval_rows, p_random_rows=p_random_rows,
         columns=columns,
     )
