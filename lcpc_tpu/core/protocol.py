@@ -33,6 +33,7 @@ from ..fs.chacha import ChaCha20Rng
 from ..fs.merlin import Transcript
 from ..fs.sampling import field_random_vec, uniform_indices
 from ..ops import blake3_jax
+from ..ops.digest import BLAKE3, DeviceDigest
 from ..ops.limbs import get_ops
 from .encoding import LcEncoding
 
@@ -50,7 +51,14 @@ def _next_pow2(x: int) -> int:
 
 @dataclasses.dataclass
 class LcCommit:
-    """Prover state (lcpc-2d/src/lib.rs:173-184)."""
+    """Prover state (lcpc-2d/src/lib.rs:173-184).
+
+    The Merkle array stays device-resident as digest words (hashes_dev,
+    (8, 2*np2-1) u32, leaves first): the host only ever needs the 32-byte
+    root and ~n_col_opens*log(n_cols) path nodes per proof, while pulling
+    the whole array costs hundreds of ms over the host link at 2^21+.
+    The byte view materializes lazily for serialization/inspection.
+    """
 
     enc: LcEncoding
     coeffs: jnp.ndarray  # (W, n_rows, n_per_row) Montgomery limbs
@@ -58,11 +66,29 @@ class LcCommit:
     n_rows: int
     n_per_row: int
     n_cols: int
-    # full Merkle array, leaves (incl. zero padding) first: (2*np2-1, 32) u8
-    hashes: np.ndarray
+    hashes_dev: jnp.ndarray  # (8, 2*np2-1) u32 digest words, leaves first
+    digest: DeviceDigest = BLAKE3
+    _hashes_np: "np.ndarray | None" = None
+    _root: "bytes | None" = None
+
+    @property
+    def hashes(self) -> np.ndarray:
+        """Full flat Merkle array as (2*np2-1, 32) u8 (lib.rs layout)."""
+        if self._hashes_np is None:
+            self._hashes_np = blake3_jax.digests_to_bytes(
+                np.asarray(self.hashes_dev)
+            )
+        return self._hashes_np
 
     def get_root(self) -> bytes:
-        return bytes(self.hashes[-1])
+        if self._root is None:
+            if self._hashes_np is not None:
+                self._root = bytes(self._hashes_np[-1])
+            else:
+                self._root = blake3_jax.digests_to_bytes(
+                    np.asarray(self.hashes_dev[:, -1:])
+                )[0].tobytes()
+        return self._root
 
     def get_n_rows(self) -> int:
         return self.n_rows
@@ -167,8 +193,9 @@ class LcEvalProof:
         return self._p_eval_rows.shape[0]
 
     def verify(self, root: bytes, outer_tensor: list[int], inner_tensor: list[int],
-               enc: LcEncoding, tr: Transcript) -> int:
-        return verify(root, outer_tensor, inner_tensor, self, enc, tr)
+               enc: LcEncoding, tr: Transcript,
+               digest: "DeviceDigest" = BLAKE3) -> int:
+        return verify(root, outer_tensor, inner_tensor, self, enc, tr, digest)
 
 
 class ProverError(Exception):
@@ -193,25 +220,28 @@ def _pack_words(ops, canon: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(words, 0, 1).reshape(r * (w // 2), c)
 
 
-def _hash_and_merkleize(ops, comm: jnp.ndarray, n_cols_np2: int):
+def _hash_and_merkleize(ops, comm: jnp.ndarray, n_cols_np2: int,
+                        digest: DeviceDigest = BLAKE3):
     """Column digests + all Merkle layers; returns list of (8, n) arrays."""
     canon = ops.from_mont(comm)
     words = _pack_words(ops, canon)
-    leaves = blake3_jax.hash_word_columns(words)  # (8, n_cols)
+    leaves = digest.hash_word_columns(words)  # (8, n_cols)
     n_cols = comm.shape[2]
     if n_cols_np2 > n_cols:
         leaves = jnp.pad(leaves, [(0, 0), (0, n_cols_np2 - n_cols)])
     layers = [leaves]
     while layers[-1].shape[1] > 1:
-        layers.append(blake3_jax.merkle_layer(layers[-1]))
+        layers.append(digest.merkle_layer(layers[-1]))
     return layers
 
 
-def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding) -> LcCommit:
+def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding,
+           digest: DeviceDigest = BLAKE3) -> LcCommit:
     """Commit to a polynomial (lib.rs:622-671).
 
     `coeffs` is either a list of canonical Python ints, or a (W, N) uint32
     limb-major array already in Montgomery form (device path for benches).
+    `digest` selects the hash (the reference's D: Digest type parameter).
     """
     ops = get_ops(enc.spec)
     if isinstance(coeffs, list):
@@ -235,14 +265,13 @@ def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding) -> L
     comm_mat = enc.encode_rows(mat)  # (W, n_rows, n_cols)
 
     n_cols_np2 = _next_pow2(n_cols)
-    layers = _hash_and_merkleize(ops, comm_mat, n_cols_np2)
+    layers = _hash_and_merkleize(ops, comm_mat, n_cols_np2, digest)
 
-    # flatten layers to the reference's hashes vec (leaves first); concat on
-    # device and transfer once (per-layer host pulls are latency-bound over
-    # the device link)
+    # flatten layers to the reference's hashes vec (leaves first); stays on
+    # device — prove gathers the few needed path nodes there, and the full
+    # byte view (serialization) materializes lazily
     flat = jnp.concatenate(layers, axis=1)  # (8, 2*np2-1)
-    hashes = blake3_jax.digests_to_bytes(flat)
-    assert hashes.shape[0] == 2 * n_cols_np2 - 1
+    assert flat.shape[1] == 2 * n_cols_np2 - 1
 
     return LcCommit(
         enc=enc,
@@ -251,7 +280,8 @@ def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding) -> L
         n_rows=n_rows,
         n_per_row=n_per_row,
         n_cols=n_cols,
-        hashes=hashes,
+        hashes_dev=flat,
+        digest=digest,
     )
 
 
@@ -309,8 +339,9 @@ def _collapse(ops, coeffs_mat: jnp.ndarray, tensor_vals: list[int]):
     return _repr_rows_to_ints(rows), rows
 
 
-def merkle_paths(hashes: np.ndarray, n_cols: int, cols: list[int]) -> list[list[bytes]]:
-    """Sibling paths for `cols` out of the flat hashes array (lib.rs:788-825)."""
+def path_node_indices(n_cols: int, cols: list[int]) -> np.ndarray:
+    """(k, path_len) flat indices of the sibling nodes for each opened column
+    within the leaves-first hashes array (open_column, lib.rs:788-825)."""
     n_cols_np2 = _next_pow2(n_cols)
     path_len = max(0, n_cols_np2.bit_length() - 1)
     # layer offsets within the flat hashes array
@@ -323,16 +354,22 @@ def merkle_paths(hashes: np.ndarray, n_cols: int, cols: list[int]) -> list[list[
         if size == 1:
             break
         size //= 2
-    paths = []
-    for c in cols:
-        path = []
+    out = np.empty((len(cols), path_len), dtype=np.int32)
+    for k, c in enumerate(cols):
         cc = c
         for lvl in range(path_len):
-            sib = cc ^ 1
-            path.append(bytes(hashes[offsets[lvl] + sib]))
+            out[k, lvl] = offsets[lvl] + (cc ^ 1)
             cc >>= 1
-        paths.append(path)
-    return paths
+    return out
+
+
+def merkle_paths(hashes: np.ndarray, n_cols: int, cols: list[int]) -> list[list[bytes]]:
+    """Sibling paths for `cols` out of the flat hashes byte array."""
+    idx = path_node_indices(n_cols, cols)
+    return [
+        [bytes(hashes[idx[k, lvl]]) for lvl in range(idx.shape[1])]
+        for k in range(idx.shape[0])
+    ]
 
 
 @jax.jit
@@ -344,6 +381,15 @@ def _gather_packed(comm_arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return g[0::2] | (g[1::2] << jnp.uint32(16))  # (W/2, R, k)
 
 
+@jax.jit
+def _gather_open(comm_arr, hashes_dev, col_idx, path_idx):
+    """One dispatch for everything prove pulls per opening: packed column
+    words + the sibling path digests gathered from the device Merkle array."""
+    packed = _gather_packed(comm_arr, col_idx)
+    path_digs = jnp.take(hashes_dev, path_idx.reshape(-1), axis=1)  # (8, k*L)
+    return packed, path_digs
+
+
 def _unpack_cols(words: np.ndarray) -> np.ndarray:
     """(W/2, R, k) u32 words -> (W, R, k) u32 16-bit limbs."""
     half, r, k = words.shape
@@ -353,17 +399,43 @@ def _unpack_cols(words: np.ndarray) -> np.ndarray:
     return out
 
 
-def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
-    """Extract columns + Merkle paths (open_column, lib.rs:788-825)."""
-    idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
-    gathered_dev = _gather_packed(comm.comm, idx)  # (W/2, R, k), async
-    # host path extraction overlaps the device gather
-    paths = merkle_paths(comm.hashes, comm.n_cols, cols)
-    gathered = _unpack_cols(np.asarray(gathered_dev))
+def _columns_from_parts(gathered_w: np.ndarray, path_digs: np.ndarray,
+                        inv: np.ndarray, k: int, path_len: int
+                        ) -> list[LcColumn]:
+    """Assemble LcColumns from the fetched packed words + unique path
+    digests (`inv` maps flat (k*L) path slots to unique-digest rows)."""
+    gathered = _unpack_cols(gathered_w)
+    uniq_bytes = blake3_jax.digests_to_bytes(path_digs)  # (n_uniq, 32)
+    path_bytes = uniq_bytes[inv]  # (k*L, 32)
     return [
-        LcColumn(col_mont=gathered[:, :, k], path=path)
-        for k, path in enumerate(paths)
+        LcColumn(
+            col_mont=gathered[:, :, j],
+            path=[
+                path_bytes[j * path_len + lvl].tobytes()
+                for lvl in range(path_len)
+            ],
+        )
+        for j in range(k)
     ]
+
+
+def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
+    """Extract columns + Merkle paths (open_column, lib.rs:788-825).
+
+    Sibling paths of the opened columns share most upper-tree nodes (the
+    reference opens 100s..1000s of columns over one tree), so only the
+    UNIQUE nodes cross the host link."""
+    col_idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
+    path_idx = path_node_indices(comm.n_cols, cols)  # (k, L)
+    uniq, inv = np.unique(path_idx.reshape(-1), return_inverse=True)
+    packed, path_digs = _gather_open(
+        comm.comm, comm.hashes_dev, col_idx, jnp.asarray(uniq.astype(np.int32))
+    )
+    packed, path_digs = jax.device_get((packed, path_digs))
+    return _columns_from_parts(
+        np.asarray(packed), np.asarray(path_digs), inv,
+        len(cols), path_idx.shape[1],
+    )
 
 
 def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
@@ -441,9 +513,6 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
 # ---------------------------------------------------------------------------
 
 
-CHUNK_END_ROOT = blake3_jax.CHUNK_END | blake3_jax.ROOT
-
-
 def _unpack_words_dev(words: jnp.ndarray) -> jnp.ndarray:
     """(W/2, ...) u32 words -> (W, ...) u32 16-bit limbs (device)."""
     lo = words & jnp.uint32(0xFFFF)
@@ -477,8 +546,8 @@ def _rows_encode_fn(enc: LcEncoding):
 
 
 @functools.lru_cache(maxsize=None)
-def _verify_core_fn(ops):
-    """Jitted verifier core for one field's ops.
+def _verify_core_fn(ops, digest: DeviceDigest = BLAKE3):
+    """Jitted verifier core for one (field ops, digest) pair.
 
     Inputs (all device; the big operands ride the host->device link as
     packed u32 words — half the bytes of the u32 limb form, and the link is
@@ -502,20 +571,13 @@ def _verify_core_fn(ops):
 
         canon = ops.from_mont(col_mat)
         words = _pack_words(ops, canon)
-        digs = blake3_jax.hash_word_columns(words)        # (8, k)
+        digs = digest.hash_word_columns(words)            # (8, k)
         for lvl in range(sibs.shape[0]):
             s = sibs[lvl]
             is_right = bits[lvl]
             left = jnp.where(is_right, s, digs)
             right = jnp.where(is_right, digs, s)
-            m = jnp.concatenate([left, right], axis=0)
-            cv = jnp.broadcast_to(
-                jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None], left.shape
-            )
-            digs = blake3_jax._compress_words(
-                cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
-                jnp.uint32(blake3_jax.CHUNK_START | CHUNK_END_ROOT),
-            )
+            digs = digest.merkle_parent(left, right)
         ok_path = jnp.all(digs == root_w[:, None])
         flags = jnp.concatenate(
             [ok_rows.astype(jnp.uint32),
@@ -528,8 +590,12 @@ def _verify_core_fn(ops):
 
 
 def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
-           proof: LcEvalProof, enc: LcEncoding, tr: Transcript) -> int:
-    """Verify an evaluation proof; returns the evaluation (lib.rs:832-952)."""
+           proof: LcEvalProof, enc: LcEncoding, tr: Transcript,
+           digest: DeviceDigest = BLAKE3) -> int:
+    """Verify an evaluation proof; returns the evaluation (lib.rs:832-952).
+
+    `digest` must match the committer's choice (the reference's D: Digest
+    type parameter; mismatches fail the Merkle path check)."""
     spec = enc.spec
     ops = get_ops(spec)
 
@@ -623,7 +689,7 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
 
     enc_rows = _rows_encode_fn(enc)(jnp.asarray(rows_w))  # async dispatch
     flags = np.asarray(
-        _verify_core_fn(ops)(
+        _verify_core_fn(ops, digest)(
             enc_rows, jnp.asarray(ts), jnp.asarray(col_w),
             jnp.asarray(idx), jnp.asarray(sibs), jnp.asarray(bits),
             jnp.asarray(root_w),

@@ -32,12 +32,11 @@ from ..fs.sampling import field_random_vec, uniform_indices
 from ..ops import blake3_jax
 from ..ops.limbs import get_ops
 from .encoding import LcEncoding
+from . import protocol
 from .protocol import (
-    LcColumn,
     LcEvalProof,
     ProverError,
     _next_pow2,
-    _open_columns,
     _pack_words,
     _words_to_repr_rows,
 )
@@ -142,9 +141,10 @@ def _encode_pack_fn(enc: LcEncoding):
 def _encode_gather_fn(enc: LcEncoding):
     fn = _encode_gather_cache.get(enc)
     if fn is None:
-        fn = jax.jit(
-            lambda block, idx: jnp.take(enc.encode_rows(block), idx, axis=2)
-        )
+        def gather(block, idx):
+            g = jnp.take(enc.encode_rows(block), idx, axis=2)  # (W, rb, k)
+            return g[0::2] | (g[1::2] << jnp.uint32(16))  # packed words
+        fn = jax.jit(gather)
         _encode_gather_cache[enc] = fn
     return fn
 
@@ -223,18 +223,36 @@ class StreamingColumnHasher:
 
 @dataclasses.dataclass
 class LcCommitStreaming:
-    """Commit state without the codeword matrix (re-encoded on demand)."""
+    """Commit state without the codeword matrix (re-encoded on demand).
+
+    Like LcCommit, the Merkle array stays on device as digest words; the
+    byte view (serialization) materializes lazily.
+    """
 
     enc: LcEncoding
     coeffs: jnp.ndarray  # (W, n_rows, n_per_row)
     n_rows: int
     n_per_row: int
     n_cols: int
-    hashes: np.ndarray
+    hashes_dev: jnp.ndarray  # (8, 2*np2-1) u32 digest words, leaves first
     row_block: int
+    _hashes_np: "np.ndarray | None" = None
+    _root: "bytes | None" = None
+
+    @property
+    def hashes(self) -> np.ndarray:
+        if self._hashes_np is None:
+            self._hashes_np = blake3_jax.digests_to_bytes(
+                np.asarray(self.hashes_dev)
+            )
+        return self._hashes_np
 
     def get_root(self) -> bytes:
-        return bytes(self.hashes[-1])
+        if self._root is None:
+            self._root = blake3_jax.digests_to_bytes(
+                np.asarray(self.hashes_dev[:, -1:])
+            )[0].tobytes()
+        return self._root
 
     def get_n_rows(self) -> int:
         return self.n_rows
@@ -296,11 +314,10 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None
     while layers[-1].shape[1] > 1:
         layers.append(blake3_jax.merkle_layer(layers[-1]))
     flat = jnp.concatenate(layers, axis=1)
-    hashes = blake3_jax.digests_to_bytes(flat)
 
     return LcCommitStreaming(
         enc=enc, coeffs=mat, n_rows=n_rows, n_per_row=n_per_row,
-        n_cols=n_cols, hashes=hashes, row_block=rb,
+        n_cols=n_cols, hashes_dev=flat, row_block=rb,
     )
 
 
@@ -340,38 +357,24 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         comm.n_cols, ChaCha20Rng(key), enc.get_n_col_opens()
     )
 
-    # re-encode by blocks, gathering only the opened columns
+    # re-encode by blocks, gathering only the opened columns (packed words
+    # on the link); the Merkle path nodes gather from the device hash array
     idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
+    path_idx = protocol.path_node_indices(comm.n_cols, cols_to_open)
+    uniq, inv = np.unique(path_idx.reshape(-1), return_inverse=True)
+    path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
     gather = _encode_gather_fn(enc)
     pieces = []
     rb = comm.row_block
     for r0 in range(0, comm.n_rows, rb):
         r1 = min(r0 + rb, comm.n_rows)
         pieces.append(np.asarray(gather(comm.coeffs[:, r0:r1, :], idx)))
-    col_mat = np.concatenate(pieces, axis=1)  # (W, n_rows, k)
-
-    # merkle paths (same layout as the in-memory prover)
-    columns = []
-    n_cols_np2 = _next_pow2(comm.n_cols)
-    path_len = max(0, n_cols_np2.bit_length() - 1)
-    offsets = []
-    off = 0
-    size = n_cols_np2
-    while size >= 1:
-        offsets.append(off)
-        off += size
-        if size == 1:
-            break
-        size //= 2
-    for k, c in enumerate(cols_to_open):
-        path = []
-        cc = c
-        for lvl in range(path_len):
-            path.append(bytes(comm.hashes[offsets[lvl] + (cc ^ 1)]))
-            cc >>= 1
-        columns.append(LcColumn(col_mont=col_mat[:, :, k], path=path))
+    col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k) packed words
 
     return LcEvalProof(
         n_cols=comm.n_cols, p_eval_rows=eval_rows, p_random_rows=p_random_rows,
-        columns=columns,
+        columns=protocol._columns_from_parts(
+            col_w, np.asarray(path_digs), inv,
+            len(cols_to_open), path_idx.shape[1],
+        ),
     )

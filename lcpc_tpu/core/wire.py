@@ -197,6 +197,8 @@ def deserialize_commit(spec: FieldSpec, data: bytes, enc):
         hashes[i] = np.frombuffer(r.take(ln), dtype=np.uint8)
     assert r.pos == len(data)
     assert n_comm == n_rows * n_cols and n_coeffs == n_rows * n_per_row
+    from ..ops import blake3_jax
+
     return LcCommit(
         enc=enc,
         coeffs=jnp.asarray(coeffs_flat.reshape(w, n_rows, n_per_row)),
@@ -204,5 +206,6 @@ def deserialize_commit(spec: FieldSpec, data: bytes, enc):
         n_rows=n_rows,
         n_per_row=n_per_row,
         n_cols=n_cols,
-        hashes=hashes,
+        hashes_dev=jnp.asarray(blake3_jax.bytes_to_digests(hashes)),
+        _hashes_np=hashes,
     )

@@ -12,10 +12,13 @@ Reimplements lcpc-brakedown-pc:
   SpMVs up).
 
 TPU mapping: each level's SpMV is applied to ALL matrix rows at once (the
-n_rows commit rows are independent), as a lax.scan over the padded-CSR slot
-axis: one gather of X columns + one vectorized modmul + modadd per slot.
-Matrices are tiny relative to the data (nnz ~ 8/col), so the scan is
-bandwidth-bound, and the dominant level is the first.
+n_rows commit rows are independent) in column-major layout — positions lead,
+(W, n_rows) limb vectors minor — so the expander's random access is an
+axis-0 gather of contiguous vectors (a row DMA per nonzero), with all
+padded-CSR slots multiplied and slot-summed under one deferred Montgomery
+reduction (ops.limbs.mul_sum_mont).  Matrix generation itself runs in the
+native C sampler (lcpc_native.c: lcpc_gen_code) — it is pure sequential RNG
+consumption, which costs minutes in Python at 2^21 sizes.
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ from ..core.encoding import LcEncoding
 from ..core.soundness import n_degree_tests
 from ..fields.spec import FieldSpec
 from ..fs.chacha import ChaCha20Rng
-from ..fs.sampling import UniformUsize, field_random_nonzero
+from ..fs.sampling import UniformUsize, field_random_nonzero_raw
 from ..ops.limbs import get_ops
 
 LAMBDA = 128
@@ -156,52 +159,100 @@ class SparseMat:
     """CSC sparse matrix over the field, mapping R^n_in -> R^n_out.
 
     Matches the sprs CsMat built by gen_code (matgen.rs:114-188): column j of
-    the CSC holds the entries sampled for generated row j.
+    the CSC holds the entries sampled for generated row j.  Values are held
+    in Montgomery form as u64 limb rows (exactly the accepted ff
+    Field::random draws — see fs/sampling.field_random_raw); the canonical
+    int list materializes lazily (it needs a bigint mulmod per nonzero and
+    only the host reference twin wants it).
     """
 
+    spec: FieldSpec
     n_out: int  # rows (m in gen_code's CSC shape)
     n_in: int   # cols (n)
     col_ptr: np.ndarray   # (n_in+1,) int64
     row_idx: np.ndarray   # (nnz,) int64, sorted within each column
-    vals: list[int]       # canonical field values, aligned with row_idx
+    vals_mont: np.ndarray  # (nnz, limbs64) uint64 Montgomery limbs
+    _vals: "list[int] | None" = None
+
+    @property
+    def vals(self) -> list[int]:
+        """Canonical field values, aligned with row_idx."""
+        if self._vals is None:
+            rinv, p = self.spec.Rinv, self.spec.p
+            flat = np.ascontiguousarray(self.vals_mont)
+            self._vals = [
+                (int.from_bytes(flat[i].tobytes(), "little") * rinv) % p
+                for i in range(flat.shape[0])
+            ]
+        return self._vals
 
     def apply_host(self, x: list[int], p: int) -> list[int]:
         assert len(x) == self.n_in
         y = [0] * self.n_out
+        vals = self.vals
         for j in range(self.n_in):
             xj = x[j]
             if xj == 0:
                 continue
             for k in range(self.col_ptr[j], self.col_ptr[j + 1]):
-                y[self.row_idx[k]] = (y[self.row_idx[k]] + self.vals[k] * xj) % p
+                y[self.row_idx[k]] = (y[self.row_idx[k]] + vals[k] * xj) % p
         return y
 
 
 def gen_code(spec: FieldSpec, n: int, m: int, d: int, rng: ChaCha20Rng) -> SparseMat:
     """One code matrix: n generated rows over m columns, d distinct nonzeros
-    per row (matgen.rs:114-188).  RNG consumption matches Rust exactly."""
+    per row (matgen.rs:114-188).  RNG consumption matches Rust exactly.
+    Pure-Python twin of the native path (lcpc_gen_code in lcpc_native.c)."""
     dist = UniformUsize(m)
-    col_ptr = [0]
     row_idx: list[int] = []
-    vals: list[int] = []
-    for _ in range(n):
+    vals_mont = np.empty((n * d, spec.limbs64), dtype=np.uint64)
+    for i in range(n):
         cols: list[int] = []
         while len(cols) < d:
             x = dist.sample(rng)
             if x not in cols:
                 cols.append(x)
         cols.sort()
-        for c in cols:
-            v = field_random_nonzero(spec, rng)
+        for k, c in enumerate(cols):
+            raw = field_random_nonzero_raw(spec, rng)
             row_idx.append(c)
-            vals.append(v)
-        col_ptr.append(len(row_idx))
+            for l in range(spec.limbs64):
+                vals_mont[i * d + k, l] = (raw >> (64 * l)) & 0xFFFFFFFFFFFFFFFF
     return SparseMat(
+        spec=spec,
         n_out=m,
         n_in=n,
-        col_ptr=np.asarray(col_ptr, dtype=np.int64),
+        col_ptr=np.arange(n + 1, dtype=np.int64) * d,
         row_idx=np.asarray(row_idx, dtype=np.int64),
-        vals=vals,
+        vals_mont=vals_mont,
+    )
+
+
+def gen_code_native(lib, rng_state, spec: FieldSpec, n: int, m: int,
+                    d: int) -> SparseMat:
+    """Native (C) gen_code: same stream consumption, ~1000x the Python twin.
+    `rng_state` is an lcpc_rng_t buffer advanced in place across calls."""
+    import ctypes
+
+    assert d <= 64
+    cols = np.empty(n * d, dtype=np.int64)
+    vals = np.empty((n * d, spec.limbs64), dtype=np.uint64)
+    p_limbs = np.array(
+        [(spec.p >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(spec.limbs64)],
+        dtype=np.uint64,
+    )
+    top_mask = (1 << 64) - 1 >> spec.shave_bits
+    lib.lcpc_gen_code(
+        rng_state, n, m, d, p_limbs.ctypes.data, spec.limbs64,
+        ctypes.c_uint64(top_mask), cols.ctypes.data, vals.ctypes.data,
+    )
+    return SparseMat(
+        spec=spec,
+        n_out=m,
+        n_in=n,
+        col_ptr=np.arange(n + 1, dtype=np.int64) * d,
+        row_idx=cols,
+        vals_mont=vals,
     )
 
 
@@ -209,9 +260,35 @@ def generate(spec: FieldSpec, code: CodeSpec, n: int, seed: int):
     """Seeded generation of all levels (matgen.rs:28-52).
 
     Level i draws from ChaCha20Rng::seed_from_u64(seed) with stream i;
-    precode first, then postcode from the same stream.
+    precode first, then postcode from the same stream.  Uses the native C
+    sampler when available (the Python twin costs minutes at 2^21 sizes —
+    the reference's matgen is parallel native Rust); stream consumption is
+    identical either way (twin-tested in tests/test_brakedown.py).
     """
+    from ..utils import native as _native
+
     pre_dims, post_dims = get_code_dims(code, n, float(spec.flog2))
+    lib = _native.get_lib()
+    max_d = max(max(cn for _, _, cn in pre_dims),
+                max(dn for _, _, dn in post_dims))
+    use_native = lib is not None and max_d <= 64
+    if use_native:
+        import ctypes
+
+        key = np.frombuffer(
+            ChaCha20Rng.seed_from_u64(seed).key.tobytes(), dtype=np.uint8
+        ).copy()
+        precodes = []
+        postcodes = []
+        for i, ((ni, mi, cn), (nip, mip, dn)) in enumerate(
+            zip(pre_dims, post_dims)
+        ):
+            st = ctypes.create_string_buffer(_native.RNG_STATE_BYTES)
+            lib.lcpc_rng_init(st, key.ctypes.data, ctypes.c_uint64(i))
+            precodes.append(gen_code_native(lib, st, spec, ni, mi, cn))
+            postcodes.append(gen_code_native(lib, st, spec, nip, mip, dn))
+        return precodes, postcodes
+
     precodes = []
     postcodes = []
     for i, ((ni, mi, cn), (nip, mip, dn)) in enumerate(zip(pre_dims, post_dims)):
@@ -287,20 +364,35 @@ def encode_host(spec: FieldSpec, xi: list[int], precodes, postcodes) -> list[int
 # ---------------------------------------------------------------------------
 
 
-def _csr_pad(mat: SparseMat) -> tuple[np.ndarray, list[list[int]]]:
-    """CSC -> padded CSR: per output row, up to kmax (col, val) slots."""
-    rows: list[list[tuple[int, int]]] = [[] for _ in range(mat.n_out)]
-    for j in range(mat.n_in):
-        for k in range(mat.col_ptr[j], mat.col_ptr[j + 1]):
-            rows[mat.row_idx[k]].append((j, mat.vals[k]))
-    kmax = max((len(r) for r in rows), default=1)
-    kmax = max(kmax, 1)
+def _csr_pad(mat: SparseMat) -> tuple[np.ndarray, np.ndarray]:
+    """CSC -> padded CSR (vectorized): per output row, up to kmax slots.
+
+    Returns (cols (n_out, kmax) int32 input indices, vals_u16 (n_out, kmax, W)
+    uint32 16-bit Montgomery limbs); pad slots read input 0 with value 0.
+    """
+    nnz = mat.row_idx.shape[0]
+    # generated entries come in uniform stride-d CSC order: entry t belongs
+    # to input (CSC column) t // d
+    d = nnz // mat.n_in if mat.n_in else 1
+    assert mat.n_in * d == nnz
+    in_idx = np.arange(nnz, dtype=np.int64) // d
+    order = np.argsort(mat.row_idx, kind="stable")
+    sorted_rows = mat.row_idx[order]
+    counts = np.bincount(mat.row_idx, minlength=mat.n_out)
+    kmax = max(1, int(counts.max(initial=0)))
+    starts = np.zeros(mat.n_out + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(nnz, dtype=np.int64) - starts[sorted_rows]
+
     cols = np.zeros((mat.n_out, kmax), dtype=np.int32)
-    vals = [[0] * kmax for _ in range(mat.n_out)]
-    for i, entries in enumerate(rows):
-        for s, (j, v) in enumerate(entries):
-            cols[i, s] = j
-            vals[i][s] = v
+    cols[sorted_rows, slot] = in_idx[order].astype(np.int32)
+
+    w = mat.spec.w16
+    vals_u16 = np.ascontiguousarray(mat.vals_mont).view("<u2").astype(
+        np.uint32
+    ).reshape(nnz, w)  # 16-bit Montgomery limbs per nonzero
+    vals = np.zeros((mat.n_out, kmax, w), dtype=np.uint32)
+    vals[sorted_rows, slot] = vals_u16[order]
     return cols, vals
 
 
@@ -312,50 +404,71 @@ class _DeviceMat:
         self.n_out = mat.n_out
         self.n_in = mat.n_in
         self.kmax = cols.shape[1]
-        # (kmax, n_out) column indices; (kmax, W, n_out) Montgomery limbs
+        # (kmax, n_out) input indices; (kmax, W, n_out) Montgomery limbs
         self.cols = jnp.asarray(cols.T)
-        flat = [v for row in vals for v in row]
-        enc = ops.encode_host(flat)  # (W, n_out*kmax)
-        self.vals = jnp.asarray(
-            np.moveaxis(
-                np.asarray(enc).reshape(ops.w, self.n_out, self.kmax), 2, 0
-            )
-        )  # (kmax, W, n_out)
+        self.vals = jnp.asarray(np.transpose(vals, (1, 2, 0)))
 
 
-def _apply_mat_device(ops, dm: _DeviceMat, x: jnp.ndarray) -> jnp.ndarray:
-    """Y (W, R, n_out) = A X for a batch of rows X (W, R, n_in)."""
-    r = x.shape[1]
+def _use_pallas_spmv() -> bool:
+    import os
 
-    def body(acc, slot):
-        cols_k, vals_k = slot  # (n_out,), (W, n_out)
-        g = jnp.take(x, cols_k, axis=2)  # (W, R, n_out)
-        term = ops.mul(g, jnp.broadcast_to(vals_k[:, None, :], g.shape))
-        return ops.add(acc, term), None
-
-    acc0 = ops.zeros((r, dm.n_out))
-    acc, _ = jax.lax.scan(body, acc0, (dm.cols, dm.vals))
-    return acc
+    flag = os.environ.get("LCPC_PALLAS_SPMV")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() not in ("cpu",)
 
 
-def _rs_device(ops, vmont: np.ndarray, x: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """RS base case as a dense scan: vmont (n_in, W, n_out) Montgomery
-    Vandermonde columns; x (W, R, n_in) -> (W, R, n_out)."""
-    r = x.shape[1]
-    n_in = x.shape[2]
+def _apply_mat_device(ops, dm: _DeviceMat, xt: jnp.ndarray) -> jnp.ndarray:
+    """Y (n_out, W, R) = A X for column-major X (n_in, W, R).
 
-    def body(acc, slot):
-        v_j, x_j = slot  # (W, n_out), (W, R)
-        term = ops.mul(
-            jnp.broadcast_to(x_j[:, :, None], (ops.w, r, n_out)),
-            jnp.broadcast_to(v_j[:, None, :], (ops.w, r, n_out)),
+    All kmax padded-CSR slots are evaluated together: gather the slot
+    operands (an axis-0 gather of contiguous (W, R) vectors — a row DMA per
+    nonzero) and accumulate over the slot axis with a single deferred
+    Montgomery reduction per output.  On TPU the accumulate+reduce runs as a
+    Pallas kernel (ops/spmv_pallas.py) — the XLA form spills between fusions
+    and reaches only ~7% of VPU peak; elsewhere ops.mul_sum_mont is the twin.
+    """
+    n_in, w, r = xt.shape
+    if _use_pallas_spmv():
+        from ..ops import spmv_pallas
+
+        spec = ops.spec
+        k_pad, r_pad, n_pad = spmv_pallas.pad_amounts(
+            spec, dm.kmax, r, dm.n_out
         )
-        return ops.add(acc, term), None
+        cols = dm.cols
+        vals = dm.vals
+        if n_pad > dm.n_out or k_pad > dm.kmax:
+            # pad slots carry value 0 (input index 0 is gathered, times zero)
+            cols = jnp.pad(
+                cols, [(0, k_pad - dm.kmax), (0, n_pad - dm.n_out)]
+            )
+            vals = jnp.pad(
+                vals, [(0, k_pad - dm.kmax), (0, 0), (0, n_pad - dm.n_out)]
+            )
+        g = jnp.take(xt, cols.reshape(-1), axis=0)  # (k_pad*n_pad, W, R)
+        g = jnp.transpose(g.reshape(k_pad, n_pad, w, r), (0, 2, 3, 1))
+        if r_pad > r:
+            g = jnp.pad(g, [(0, 0), (0, 0), (0, r_pad - r), (0, 0)])
+        y = spmv_pallas.spmv_mont(spec, vals, g, dm.n_out)  # (W, r_pad, n_pad)
+        return jnp.transpose(y[:, :r, : dm.n_out], (2, 0, 1))
 
-    acc0 = ops.zeros((r, n_out))
-    xs = jnp.moveaxis(x, 2, 0)  # (n_in, W, R)
-    acc, _ = jax.lax.scan(body, acc0, (jnp.asarray(vmont), xs))
-    return acc
+    g = jnp.take(xt, dm.cols.reshape(-1), axis=0)  # (kmax*n_out, W, R)
+    g = g.reshape(dm.kmax, dm.n_out, w, r)
+    g = jnp.transpose(g, (0, 2, 1, 3))             # (kmax, W, n_out, R)
+    v = jnp.broadcast_to(dm.vals[:, :, :, None], g.shape)
+    y = ops.mul_sum_mont(v, g)                     # (W, n_out, R)
+    return jnp.transpose(y, (1, 0, 2))
+
+
+def _rs_device(ops, vmont: np.ndarray, xt: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """RS base case, one fused contraction: vmont (n_in, W, n_out) Montgomery
+    Vandermonde columns; column-major X (n_in, W, R) -> (n_out, W, R)."""
+    n_in, w, r = xt.shape
+    a = jnp.broadcast_to(xt[:, :, None, :], (n_in, w, n_out, r))
+    b = jnp.broadcast_to(jnp.asarray(vmont)[:, :, :, None], a.shape)
+    y = ops.mul_sum_mont(a, b)                     # (W, n_out, R)
+    return jnp.transpose(y, (1, 0, 2))
 
 
 class SdigEncoding(LcEncoding):
@@ -477,8 +590,11 @@ class SdigEncoding(LcEncoding):
     def _encode_rows_impl(self, rows: jnp.ndarray) -> jnp.ndarray:
         ops = self.ops
         pre, post, vmont = self._device_mats()
-        segs = [rows]  # x
-        x = rows
+        # column-major throughout: positions lead, (W, R) vectors minor, so
+        # the expander gathers are contiguous row DMAs (see _apply_mat_device)
+        xt = jnp.transpose(rows, (2, 0, 1))  # (npr, W, R)
+        segs = [xt]  # x
+        x = xt
         for dm in pre[:-1]:
             x = _apply_mat_device(ops, dm, x)
             segs.append(x)
@@ -493,10 +609,11 @@ class SdigEncoding(LcEncoding):
         # (v_t sits right after rs, then v_{t-1}, ... — encode.rs:76-90).
         back_segs: list[jnp.ndarray] = []
         for i in range(len(post) - 1, -1, -1):
-            inp = jnp.concatenate(segs[i + 1 :] + back_segs, axis=2)
-            assert inp.shape[2] == post[i].n_in, (inp.shape, post[i].n_in)
+            inp = jnp.concatenate(segs[i + 1 :] + back_segs, axis=0)
+            assert inp.shape[0] == post[i].n_in, (inp.shape, post[i].n_in)
             back_segs.append(_apply_mat_device(ops, post[i], inp))
-        return jnp.concatenate(segs + back_segs, axis=2)
+        out = jnp.concatenate(segs + back_segs, axis=0)  # (n_cols, W, R)
+        return jnp.transpose(out, (1, 2, 0))
 
     def encode_row_host(self, row: list[int]) -> list[int]:
         assert len(row) <= self.n_cols

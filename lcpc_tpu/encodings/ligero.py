@@ -46,9 +46,12 @@ def _pick_ntt(spec: FieldSpec, n: int):
         on_tpu = jax.default_backend() not in ("cpu",)
         use_mxu = on_tpu and spec.w16 >= 8 and n >= 4
     if use_mxu:
-        from ..ops.mxu_ntt import get_mxu_ntt
+        from ..ops.mxu_ntt import get_mxu_ntt, mxu_supported
 
-        return get_mxu_ntt(spec, n)
+        if mxu_supported(n):
+            return get_mxu_ntt(spec, n)
+        # beyond the single-level contraction cap (A > 1024, i.e. n > 2^20):
+        # the VPU butterfly ladder has no size cap below the 2-adicity bound
     return get_ntt(spec, n)
 
 

@@ -56,8 +56,9 @@ def field_random_vec(spec: FieldSpec, rng: ChaCha20Rng, n: int) -> list[int]:
     return out
 
 
-def field_random_scalar(spec: FieldSpec, rng: ChaCha20Rng) -> int:
-    """One ff Field::random draw, consuming exactly what Rust consumes."""
+def field_random_raw(spec: FieldSpec, rng: ChaCha20Rng) -> int:
+    """One ff Field::random draw; returns the ACCEPTED MASKED DRAW, i.e. the
+    element's Montgomery representation (value = draw * R^-1 mod p)."""
     top_mask = _U64_MASK >> spec.shave_bits
     while True:
         limbs = [rng.next_u64() for _ in range(spec.limbs64)]
@@ -66,15 +67,26 @@ def field_random_scalar(spec: FieldSpec, rng: ChaCha20Rng) -> int:
         for i, l in enumerate(limbs):
             x |= l << (64 * i)
         if x < spec.p:
-            return (x * spec.Rinv) % spec.p
+            return x
+
+
+def field_random_scalar(spec: FieldSpec, rng: ChaCha20Rng) -> int:
+    """One ff Field::random draw, consuming exactly what Rust consumes."""
+    return (field_random_raw(spec, rng) * spec.Rinv) % spec.p
+
+
+def field_random_nonzero_raw(spec: FieldSpec, rng: ChaCha20Rng) -> int:
+    """matgen.rs:174-180 (Montgomery-form result): redraw until nonzero.
+    The value is zero iff the raw draw is zero (x < p and v = x*R^-1)."""
+    x = field_random_raw(spec, rng)
+    while x == 0:
+        x = field_random_raw(spec, rng)
+    return x
 
 
 def field_random_nonzero(spec: FieldSpec, rng: ChaCha20Rng) -> int:
     """matgen.rs:174-180: draw Field::random until nonzero."""
-    v = field_random_scalar(spec, rng)
-    while v == 0:
-        v = field_random_scalar(spec, rng)
-    return v
+    return (field_random_nonzero_raw(spec, rng) * spec.Rinv) % spec.p
 
 
 class UniformUsize:

@@ -261,20 +261,23 @@ def hash_word_columns(words: jnp.ndarray, prefix_words: int = 8) -> jnp.ndarray:
     return _hash_words_streams(buf, total)
 
 
+def merkle_parent(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """parent = blake3(left_digest_bytes || right_digest_bytes), (8, n) each."""
+    m = jnp.concatenate([left, right], axis=0)  # (16, n)
+    cv = jnp.broadcast_to(jnp.asarray(_IV, jnp.uint32)[:, None], left.shape)
+    return _compress_words(
+        cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
+        jnp.uint32(CHUNK_START | CHUNK_END | ROOT),
+    )
+
+
 @jax.jit
 def merkle_layer(digests: jnp.ndarray) -> jnp.ndarray:
     """One Merkle layer: parent = blake3(left || right) over digest pairs.
 
     digests: (8, n) with n even -> (8, n//2).
     """
-    left = digests[:, 0::2]
-    right = digests[:, 1::2]
-    m = jnp.concatenate([left, right], axis=0)  # (16, n/2)
-    cv = jnp.broadcast_to(jnp.asarray(_IV, jnp.uint32)[:, None], left.shape)
-    return _compress_words(
-        cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
-        jnp.uint32(CHUNK_START | CHUNK_END | ROOT),
-    )
+    return merkle_parent(digests[:, 0::2], digests[:, 1::2])
 
 
 def digests_to_bytes(digests) -> np.ndarray:

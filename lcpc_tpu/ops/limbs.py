@@ -316,6 +316,58 @@ class FieldOps:
         # bottom W limbs are zero by construction of m; drop them (the /R)
         return s[w:]
 
+    def _cond_sub_chain(self, limbs: list, max_multiple: int) -> jnp.ndarray:
+        """Reduce a value < max_multiple*p to < p by conditional subtraction
+        of power-of-two multiples of p; stacks the first W limbs."""
+        m = 1
+        while m * 2 < max_multiple:
+            m *= 2
+        while m >= 1:
+            c = _spec_limbs16(m * self.spec.p, len(limbs))
+            ge = self._geq(limbs, c)
+            sub = self._sub_const(limbs, c)
+            limbs = [jnp.where(ge, s, o) for s, o in zip(sub, limbs)]
+            m //= 2
+        return jnp.stack(limbs[: self.w], axis=0)
+
+    def mul_sum_mont(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Sum_k a[k]*b[k] of Montgomery operands with ONE deferred reduction.
+
+        a, b: (K, W, ...batch) Montgomery limbs -> (W, ...batch) Montgomery.
+        The 32-bit limb products accumulate over K as plain u32 (safe while
+        K*W <= 2^15), and the Montgomery reduction runs once per output —
+        O(W^2) per output instead of per (k, output).  This is the expander
+        SpMV's inner form: one slot-sum per codeword position.
+        """
+        k, w = a.shape[0], self.w
+        assert b.shape[0] == k and a.shape[1] == w
+        if k * w > (1 << 15):  # u32 accumulator bound: chunk and modadd
+            kc = (1 << 15) // w
+            out = None
+            for c0 in range(0, k, kc):
+                part = self.mul_sum_mont(a[c0 : c0 + kc], b[c0 : c0 + kc])
+                out = part if out is None else self.add(out, part)
+            return out
+        cols: list = [None] * (2 * w + 1)
+        for i in range(w):
+            ai = a[:, i]
+            for j in range(w):
+                t = ai * b[:, j]                    # (K, ...batch)
+                lo = jnp.sum(t & MASK16, axis=0, dtype=jnp.uint32)
+                hi = jnp.sum(t >> 16, axis=0, dtype=jnp.uint32)
+                kk = i + j
+                cols[kk] = lo if cols[kk] is None else cols[kk] + lo
+                cols[kk + 1] = hi if cols[kk + 1] is None else cols[kk + 1] + hi
+        zero = jnp.zeros_like(cols[0])
+        v = self._norm_array(
+            jnp.stack([c if c is not None else zero for c in cols]), 2 * w + 1
+        )
+        r = self._mont_reduce_arr(v)  # value == sum(ab)/R mod p, < Kp^2/R + 2p
+        # bound the leftover multiple of p: K * p/R + 2, rounded up
+        max_mult = (k * self.spec.p) // self.spec.R + 3
+        return self._cond_sub_chain([r[i] for i in range(r.shape[0])],
+                                    max(2, int(max_mult)))
+
     def collapse_canon(self, ts: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
         """Batched field dot products with a single deferred reduction.
 

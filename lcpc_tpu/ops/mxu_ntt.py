@@ -48,6 +48,12 @@ def _pick_ab(n: int) -> tuple[int, int]:
     return a, n // a
 
 
+def mxu_supported(n: int) -> bool:
+    """True if the single-level 4-step contraction covers size n (A <= 1024,
+    i.e. n <= 2^20); callers fall back to the VPU ladder beyond it."""
+    return n >= 4 and _pick_ab(n)[0] <= 1024
+
+
 class MxuNttPlan:
     def __init__(self, spec: FieldSpec, n: int):
         assert n & (n - 1) == 0 and n >= 4

@@ -65,10 +65,25 @@ class ShardedCommit:
     n_rows: int           # true row count (pad rows are zero)
     n_per_row: int
     n_cols: int           # true codeword length (pad columns dropped)
-    hashes: np.ndarray    # full flat Merkle array, byte-identical to serial
+    hashes_dev: jax.Array  # (8, 2*np2-1) u32 digest words, replicated
+    _hashes_np: "np.ndarray | None" = None
+    _root: "bytes | None" = None
+
+    @property
+    def hashes(self) -> np.ndarray:
+        """Flat Merkle byte array, byte-identical to the serial commit."""
+        if self._hashes_np is None:
+            self._hashes_np = blake3_jax.digests_to_bytes(
+                jax.device_get(self.hashes_dev)
+            )
+        return self._hashes_np
 
     def get_root(self) -> bytes:
-        return bytes(self.hashes[-1])
+        if self._root is None:
+            self._root = blake3_jax.digests_to_bytes(
+                jax.device_get(self.hashes_dev[:, -1:])
+            )[0].tobytes()
+        return self._root
 
     def get_n_rows(self) -> int:
         return self.n_rows
@@ -178,11 +193,10 @@ def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh) -> ShardedCommit:
     coeffs_sh = jax.device_put(mat, NamedSharding(mesh, P(None, axis, None)))
 
     flat, comm_cols = _commit_fn(enc, mesh, n_rows, n_rows_pad)(coeffs_sh)
-    hashes = blake3_jax.digests_to_bytes(jax.device_get(flat))
 
     return ShardedCommit(
         enc=enc, mesh=mesh, coeffs=coeffs_sh, comm_cols=comm_cols,
-        n_rows=n_rows, n_per_row=n_per_row, n_cols=n_cols, hashes=hashes,
+        n_rows=n_rows, n_per_row=n_per_row, n_cols=n_cols, hashes_dev=flat,
     )
 
 
@@ -229,10 +243,16 @@ def _build_collapse_fn(enc: LcEncoding, mesh: Mesh):
 
 @functools.lru_cache(maxsize=32)
 def _gather_fn(mesh: Mesh):
-    def gather(comm_cols, idx):
-        return jnp.take(comm_cols, idx, axis=2)
+    def gather(comm_cols, hashes_dev, col_idx, path_idx):
+        g = jnp.take(comm_cols, col_idx, axis=2)
+        packed = g[0::2] | (g[1::2] << jnp.uint32(16))  # halve link bytes
+        path_digs = jnp.take(hashes_dev, path_idx.reshape(-1), axis=1)
+        return packed, path_digs
 
-    return jax.jit(gather, out_shardings=NamedSharding(mesh, P()))
+    return jax.jit(
+        gather,
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+    )
 
 
 def sharded_prove(comm: ShardedCommit, outer_tensor: list[int],
@@ -254,14 +274,19 @@ def sharded_prove(comm: ShardedCommit, outer_tensor: list[int],
         )
 
     def open_columns_fn(cols: list[int]) -> list[LcColumn]:
-        idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
-        gathered_dev = _gather_fn(mesh)(comm.comm_cols, idx)  # (W, Rp, k)
-        paths = protocol.merkle_paths(comm.hashes, comm.n_cols, cols)
-        gathered = np.asarray(jax.device_get(gathered_dev))[:, : comm.n_rows, :]
-        return [
-            LcColumn(col_mont=gathered[:, :, k], path=path)
-            for k, path in enumerate(paths)
-        ]
+        col_idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
+        path_idx = protocol.path_node_indices(comm.n_cols, cols)  # (k, L)
+        uniq, inv = np.unique(path_idx.reshape(-1), return_inverse=True)
+        packed, path_digs = jax.device_get(
+            _gather_fn(mesh)(
+                comm.comm_cols, comm.hashes_dev, col_idx,
+                jnp.asarray(uniq.astype(np.int32)),
+            )
+        )
+        packed = np.asarray(packed)[:, : comm.n_rows, :]  # drop pad rows
+        return protocol._columns_from_parts(
+            packed, np.asarray(path_digs), inv, len(cols), path_idx.shape[1]
+        )
 
     return protocol.prove_core(
         enc, tr, comm.n_rows, comm.n_cols, outer_tensor,

@@ -64,5 +64,12 @@ def get_lib():
     ]
     lib.lcpc_transcript_challenge.argtypes = [p, p, ctypes.c_size_t, p,
                                               ctypes.c_size_t]
+    u64 = ctypes.c_uint64
+    lib.lcpc_rng_init.argtypes = [p, p, u64]
+    lib.lcpc_gen_code.argtypes = [p, u64, u64, u64, p, ctypes.c_int, u64,
+                                  p, p]
     _lib = lib
     return _lib
+
+
+RNG_STATE_BYTES = 320  # sizeof(lcpc_rng_t), padded

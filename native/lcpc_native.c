@@ -173,3 +173,141 @@ void lcpc_transcript_challenge(strobe_t *s, const uint8_t *label, size_t llen,
     lcpc_strobe_meta_ad(s, len4, 4, 1);
     lcpc_strobe_prf(s, out, n);
 }
+
+/* ---------------- ChaCha20 RNG (rand_chacha 0.3 stream) ----------------
+ *
+ * Exact replica of rand_chacha::ChaCha20Rng's output stream as consumed by
+ * the reference's expander-matrix generation (matgen.rs:43-44; Python twin
+ * lcpc_tpu/fs/chacha.py): rand_core BlockRng with a 64-word (4-block)
+ * buffer, 64-bit block counter in words 12-13, 64-bit stream in 14-15.
+ * Matgen only ever draws via next_u64, so the word index stays pair-aligned
+ * and next_u64 is always two consecutive buffer words.
+ */
+
+typedef struct {
+    uint32_t key[8];
+    uint32_t nonce[2];
+    uint64_t counter; /* block counter of the NEXT refill */
+    uint32_t buf[64];
+    uint32_t idx; /* consumed words in buf */
+    uint32_t _pad;
+} lcpc_rng_t;
+
+static inline uint32_t rotl32(uint32_t x, int n) {
+    return (x << n) | (x >> (32 - n));
+}
+
+static void chacha_block(const lcpc_rng_t *r, uint64_t ctr, uint32_t out[16]) {
+    uint32_t st[16];
+    st[0] = 0x61707865u; st[1] = 0x3320646Eu;
+    st[2] = 0x79622D32u; st[3] = 0x6B206574u;
+    for (int i = 0; i < 8; i++) st[4 + i] = r->key[i];
+    st[12] = (uint32_t)ctr;
+    st[13] = (uint32_t)(ctr >> 32);
+    st[14] = r->nonce[0];
+    st[15] = r->nonce[1];
+    uint32_t x[16];
+    memcpy(x, st, sizeof(x));
+#define QR(a, b, c, d)                                                      \
+    x[a] += x[b]; x[d] = rotl32(x[d] ^ x[a], 16);                           \
+    x[c] += x[d]; x[b] = rotl32(x[b] ^ x[c], 12);                           \
+    x[a] += x[b]; x[d] = rotl32(x[d] ^ x[a], 8);                            \
+    x[c] += x[d]; x[b] = rotl32(x[b] ^ x[c], 7);
+    for (int i = 0; i < 10; i++) {
+        QR(0, 4, 8, 12) QR(1, 5, 9, 13) QR(2, 6, 10, 14) QR(3, 7, 11, 15)
+        QR(0, 5, 10, 15) QR(1, 6, 11, 12) QR(2, 7, 8, 13) QR(3, 4, 9, 14)
+    }
+#undef QR
+    for (int i = 0; i < 16; i++) out[i] = x[i] + st[i];
+}
+
+static void rng_refill(lcpc_rng_t *r) {
+    for (int b = 0; b < 4; b++)
+        chacha_block(r, r->counter + (uint64_t)b, r->buf + 16 * b);
+    r->counter += 4;
+    r->idx = 0;
+}
+
+void lcpc_rng_init(lcpc_rng_t *r, const uint8_t key[32], uint64_t stream) {
+    memcpy(r->key, key, 32);
+    r->nonce[0] = (uint32_t)stream;
+    r->nonce[1] = (uint32_t)(stream >> 32);
+    r->counter = 0;
+    r->idx = 64; /* empty: refill on first draw */
+}
+
+static inline uint64_t rng_next_u64(lcpc_rng_t *r) {
+    if (r->idx >= 64) rng_refill(r);
+    uint64_t lo = r->buf[r->idx];
+    uint64_t hi = r->buf[r->idx + 1];
+    r->idx += 2;
+    return (hi << 32) | lo;
+}
+
+/* ---------------- expander matrix generation (matgen.rs:114-188) --------
+ *
+ * Per generated row: d DISTINCT uniform columns in [0, m) via rand 0.8's
+ * Lemire widening-multiply (quadratic duplicate rejection), sorted; then,
+ * in sorted order, one nonzero field element per column via ff 0.12
+ * Field::random (masked limbs interpreted as Montgomery form, rejected
+ * while >= p or zero).  vals_out receives the ACCEPTED MASKED DRAW — i.e.
+ * the element's Montgomery representation, which is what the device wants;
+ * the canonical value is draw * R^-1 mod p (computed host-side if needed).
+ */
+
+static inline int limbs_lt(const uint64_t *a, const uint64_t *b, int L) {
+    for (int i = L - 1; i >= 0; i--) {
+        if (a[i] < b[i]) return 1;
+        if (a[i] > b[i]) return 0;
+    }
+    return 0;
+}
+
+void lcpc_gen_code(lcpc_rng_t *rng, uint64_t n, uint64_t m, uint64_t d,
+                   const uint64_t *p_limbs, int nlimbs, uint64_t top_mask,
+                   int64_t *cols_out, uint64_t *vals_out) {
+    /* Lemire rejection zone for Uniform::new(0, m) over u64 */
+    uint64_t ints_to_reject = (0xFFFFFFFFFFFFFFFFull - m + 1ull) % m;
+    uint64_t zone = 0xFFFFFFFFFFFFFFFFull - ints_to_reject;
+    uint64_t row_cols[64]; /* d <= 64 always (cn/dn are ~8-30) */
+    uint64_t draw[8];
+
+    for (uint64_t i = 0; i < n; i++) {
+        uint64_t got = 0;
+        while (got < d) {
+            uint64_t x;
+            for (;;) { /* Lemire sample */
+                uint64_t v = rng_next_u64(rng);
+                __uint128_t mm = (__uint128_t)v * (__uint128_t)m;
+                if ((uint64_t)mm <= zone) { x = (uint64_t)(mm >> 64); break; }
+            }
+            int dup = 0;
+            for (uint64_t k = 0; k < got; k++)
+                if (row_cols[k] == x) { dup = 1; break; }
+            if (!dup) row_cols[got++] = x;
+        }
+        /* insertion sort (d is tiny) */
+        for (uint64_t a = 1; a < d; a++) {
+            uint64_t v = row_cols[a];
+            uint64_t b = a;
+            while (b > 0 && row_cols[b - 1] > v) {
+                row_cols[b] = row_cols[b - 1];
+                b--;
+            }
+            row_cols[b] = v;
+        }
+        for (uint64_t k = 0; k < d; k++) {
+            cols_out[i * d + k] = (int64_t)row_cols[k];
+            for (;;) { /* Field::random, nonzero (matgen.rs:174-180) */
+                int zero = 1;
+                for (int l = 0; l < nlimbs; l++) draw[l] = rng_next_u64(rng);
+                draw[nlimbs - 1] &= top_mask;
+                for (int l = 0; l < nlimbs; l++)
+                    if (draw[l]) { zero = 0; break; }
+                if (!zero && limbs_lt(draw, p_limbs, nlimbs)) break;
+            }
+            for (int l = 0; l < nlimbs; l++)
+                vals_out[(i * d + k) * nlimbs + l] = draw[l];
+        }
+    }
+}

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--pvs", action="store_true",
                     help="also run prove/verify/size lines")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stream-from", type=int, default=23,
+                    help="use the streaming commit path for logn >= this "
+                         "(bounds the encode's HBM temporaries)")
     args = ap.parse_args()
 
     from lcpc_tpu.utils.cache import enable_compilation_cache
@@ -64,13 +67,30 @@ def main():
         else:
             enc = SdigEncoding.new(spec, n, seed=0)
 
+        if lgl >= args.stream_from:
+            from lcpc_tpu.core import streaming
+
+            n_rows, _, n_cols = enc.get_dims(n)
+            # bound the encode's HBM temporaries (digit planes scale with
+            # rows*n_cols); keep blocks 256-word aligned for the hasher
+            align = 256 // (spec.w16 // 2)
+            rb = max(align, min(n_rows, (1 << 32) // max(1, 200 * n_cols)))
+            rb = max(align, (rb // align) * align)
+
+            def do_commit():
+                return streaming.commit_streaming(coeffs, enc, row_block=rb)
+        else:
+
+            def do_commit():
+                return protocol.commit(coeffs, enc)
+
         # warm-up (compiles)
-        com = protocol.commit(coeffs, enc)
+        com = do_commit()
         _ = com.get_root()
         times = []
         for _ in range(args.iters):
             t0 = time.time()
-            com = protocol.commit(coeffs, enc)
+            com = do_commit()
             _ = com.get_root()
             times.append(time.time() - t0)
         commit_ns = int(sorted(times)[len(times) // 2] * 1e9)

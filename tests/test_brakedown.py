@@ -116,3 +116,45 @@ def test_brakedown_device_matches_twin(e2e_setup):
     for k in range(0, len(pf_dev.columns), 997):
         assert ops.decode_host(pf_dev.columns[k].col_mont) == pf_srl.columns[k].col
         assert pf_dev.columns[k].path == pf_srl.columns[k].path
+
+
+def test_gen_code_native_matches_python_twin():
+    """The C sampler must consume the ChaCha stream exactly like the Python
+    twin: same columns, same Montgomery value limbs, across both gen_code
+    calls sharing one per-level stream (matgen.rs:43-49)."""
+    import ctypes
+
+    import numpy as np
+
+    from lcpc_tpu.encodings import brakedown as bd
+    from lcpc_tpu.fs.chacha import ChaCha20Rng
+    from lcpc_tpu.utils import native as _native
+    from lcpc_tpu.fields import FT63, FT255
+
+    lib = _native.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    for spec, n, m, d, n2, m2, d2 in [
+        (FT63, 37, 120, 5, 11, 40, 7),
+        (FT255, 23, 64, 4, 9, 30, 3),
+    ]:
+        rng = ChaCha20Rng.seed_from_u64(1234)
+        rng.set_stream(5)
+        py_a = bd.gen_code(spec, n, m, d, rng)
+        py_b = bd.gen_code(spec, n2, m2, d2, rng)
+
+        key = np.frombuffer(
+            ChaCha20Rng.seed_from_u64(1234).key.tobytes(), dtype=np.uint8
+        ).copy()
+        st = ctypes.create_string_buffer(_native.RNG_STATE_BYTES)
+        lib.lcpc_rng_init(st, key.ctypes.data, ctypes.c_uint64(5))
+        c_a = bd.gen_code_native(lib, st, spec, n, m, d)
+        c_b = bd.gen_code_native(lib, st, spec, n2, m2, d2)
+
+        for py, c in ((py_a, c_a), (py_b, c_b)):
+            assert np.array_equal(py.row_idx, c.row_idx)
+            assert np.array_equal(py.vals_mont, c.vals_mont)
+            assert np.array_equal(py.col_ptr, c.col_ptr)

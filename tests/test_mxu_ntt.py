@@ -36,3 +36,23 @@ def test_mxu_plan_bounds():
         r7 = 1 << (7 * plan.w7r)
         assert plan.a * spec.p * spec.p // r7 < spec.p
         assert plan.a * plan.b == n
+
+
+def test_pick_ntt_falls_back_beyond_mxu_cap():
+    # n > 2^20 exceeds the single-level contraction cap (A > 1024); the
+    # encoding must pick the VPU ladder instead of crashing (VERDICT #9)
+    from lcpc_tpu.ops.mxu_ntt import mxu_supported
+    from lcpc_tpu.encodings.ligero import _pick_ntt
+    from lcpc_tpu.ops.ntt import BatchedNtt
+    from lcpc_tpu.fields import FT255
+
+    assert mxu_supported(1 << 20)
+    assert not mxu_supported(1 << 21)
+    import os
+    old = os.environ.pop("LCPC_MXU_NTT", None)
+    try:
+        ntt = _pick_ntt(FT255, 1 << 21)
+        assert isinstance(ntt, BatchedNtt)
+    finally:
+        if old is not None:
+            os.environ["LCPC_MXU_NTT"] = old

@@ -73,3 +73,93 @@ def test_ntt_constant_poly():
     coeffs = [12345] + [0] * (n - 1)
     got = ops.decode_host(ntt(ops.encode_host(coeffs)[:, None, :])[:, 0, :])
     assert got == [12345] * n
+
+
+# ---------------------------------------------------------------------------
+# inverse NTT (ifft_oi semantics) + the reference's FFT-consistency identity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("spec", [FT63, FT255], ids=lambda s: s.name)
+def test_intt_roundtrip_host(spec):
+    from lcpc_tpu.ops.ntt import intt_host, ntt_host
+
+    rng = random.Random(31)
+    for n in (2, 8, 64, 256):
+        coeffs = [rng.randrange(spec.p) for _ in range(n)]
+        assert intt_host(spec, ntt_host(spec, coeffs)) == coeffs
+
+
+@pytest.mark.parametrize("spec", [FT63, FT255], ids=lambda s: s.name)
+def test_intt_device_matches_host(spec):
+    from lcpc_tpu.ops.ntt import get_intt, intt_host
+
+    rng = random.Random(32)
+    n = 128
+    rows = 3
+    ops = get_ops(spec)
+    intt = get_intt(spec, n)
+    mats = [[rng.randrange(spec.p) for _ in range(n)] for _ in range(rows)]
+    x = np.stack([ops.encode_host(r) for r in mats], axis=1)
+    y = intt(x)
+    for r in range(rows):
+        assert ops.decode_host(y[:, r, :]) == intt_host(spec, mats[r])
+
+
+def test_intt_inverts_device_ntt():
+    from lcpc_tpu.ops.ntt import get_intt
+
+    spec = FT63
+    ops = get_ops(spec)
+    n = 256
+    rng = random.Random(33)
+    coeffs = [rng.randrange(spec.p) for _ in range(n)]
+    x = ops.encode_host(coeffs)[:, None, :]
+    back = get_intt(spec, n)(get_ntt(spec, n)(x))
+    assert ops.decode_host(back[:, 0, :]) == coeffs
+
+
+def test_fft_consistency_identity():
+    """Port of the reference's commit() test (lcpc-2d/src/tests.rs:194-236):
+
+    collapse-then-encode == encode-then-collapse-then-iFFT, with all
+    coefficients above n_per_row zero — the strongest in-environment check
+    that the NTT convention matches fffft's fft_io/ifft_oi pair.
+    """
+    from lcpc_tpu.core import protocol
+    from lcpc_tpu.encodings.ligero import LigeroEncoding
+    from lcpc_tpu.ops.ntt import get_intt
+    from lcpc_tpu.utils.tensors import univariate_tensors, univariate_eval
+
+    spec = FT63
+    ops = get_ops(spec)
+    rng = random.Random(34)
+    length = 300
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+    enc = LigeroEncoding.new(spec, length)
+    comm = protocol.commit(coeffs, enc)
+
+    x = rng.randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, comm.n_per_row, comm.n_rows)
+    eval1 = univariate_eval(spec, coeffs, x)
+
+    # eval_outer (lib.rs:1177-1201): collapse the coefficient matrix
+    outer_mont = ops.encode_host(outer)
+    flat = ops.collapse_canon(
+        np.asarray(outer_mont)[:, None, :], comm.coeffs
+    )  # (W, 1, n_per_row) canonical
+    coeffs_flattened = ops.decode_host(flat[:, 0, :], from_mont=False)
+    eval2 = sum(c * r for c, r in zip(coeffs_flattened, inner)) % spec.p
+    assert eval1 == eval2
+
+    # eval_outer_fft (lib.rs:1229-1249): collapse the ENCODED matrix, iFFT it
+    poly_fft_mont = ops.dot_mont(
+        np.asarray(outer_mont)[:, :, None], comm.comm, axis=1
+    )  # (W, n_cols) Montgomery, bit-reversed evaluation order
+    back = get_intt(spec, comm.n_cols)(poly_fft_mont[:, None, :])
+    poly = ops.decode_host(back[:, 0, :])
+    assert all(v == 0 for v in poly[comm.n_per_row:]), (
+        "high coefficients nonzero: NTT convention mismatch"
+    )
+    eval3 = sum(c * r for c, r in zip(poly[: comm.n_per_row], inner)) % spec.p
+    assert eval2 == eval3
