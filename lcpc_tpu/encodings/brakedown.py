@@ -418,17 +418,20 @@ def _use_pallas_spmv() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _apply_mat_device(ops, dm: _DeviceMat, xt: jnp.ndarray) -> jnp.ndarray:
-    """Y (n_out, W, R) = A X for column-major X (n_in, W, R).
+def _apply_mat_device(ops, dm: _DeviceMat, xf: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Y (n_out, W*R) = A X for flat column-major X (n_in, W*R).
 
     All kmax padded-CSR slots are evaluated together: gather the slot
-    operands (an axis-0 gather of contiguous (W, R) vectors — a row DMA per
-    nonzero) and accumulate over the slot axis with a single deferred
-    Montgomery reduction per output.  On TPU the accumulate+reduce runs as a
+    operands and accumulate over the slot axis with a single deferred
+    Montgomery reduction per output.  The flat (W*R)-minor layout makes the
+    gather read 128-lane-aligned rows — the (W, R) form's 18-lane minor axis
+    pads to 128 in physical tiles, and the gather then moves 7x the bytes
+    (measured 4.4 vs 25 GB/s).  On TPU the accumulate+reduce runs as a
     Pallas kernel (ops/spmv_pallas.py) — the XLA form spills between fusions
     and reaches only ~7% of VPU peak; elsewhere ops.mul_sum_mont is the twin.
     """
-    n_in, w, r = xt.shape
+    n_in, wr = xf.shape
+    w = wr // r
     if _use_pallas_spmv():
         from ..ops import spmv_pallas
 
@@ -446,29 +449,34 @@ def _apply_mat_device(ops, dm: _DeviceMat, xt: jnp.ndarray) -> jnp.ndarray:
             vals = jnp.pad(
                 vals, [(0, k_pad - dm.kmax), (0, 0), (0, n_pad - dm.n_out)]
             )
-        g = jnp.take(xt, cols.reshape(-1), axis=0)  # (k_pad*n_pad, W, R)
+        g = jnp.take(xf, cols.reshape(-1), axis=0)  # (k_pad*n_pad, W*R)
         g = jnp.transpose(g.reshape(k_pad, n_pad, w, r), (0, 2, 3, 1))
         if r_pad > r:
             g = jnp.pad(g, [(0, 0), (0, 0), (0, r_pad - r), (0, 0)])
         y = spmv_pallas.spmv_mont(spec, vals, g, dm.n_out)  # (W, r_pad, n_pad)
-        return jnp.transpose(y[:, :r, : dm.n_out], (2, 0, 1))
+        return jnp.transpose(y[:, :r, : dm.n_out], (2, 0, 1)).reshape(
+            dm.n_out, wr
+        )
 
-    g = jnp.take(xt, dm.cols.reshape(-1), axis=0)  # (kmax*n_out, W, R)
+    g = jnp.take(xf, dm.cols.reshape(-1), axis=0)  # (kmax*n_out, W*R)
     g = g.reshape(dm.kmax, dm.n_out, w, r)
     g = jnp.transpose(g, (0, 2, 1, 3))             # (kmax, W, n_out, R)
     v = jnp.broadcast_to(dm.vals[:, :, :, None], g.shape)
     y = ops.mul_sum_mont(v, g)                     # (W, n_out, R)
-    return jnp.transpose(y, (1, 0, 2))
+    return jnp.transpose(y, (1, 0, 2)).reshape(dm.n_out, wr)
 
 
-def _rs_device(ops, vmont: np.ndarray, xt: jnp.ndarray, n_out: int) -> jnp.ndarray:
+def _rs_device(ops, vmont: np.ndarray, xf: jnp.ndarray, r: int,
+               n_out: int) -> jnp.ndarray:
     """RS base case, one fused contraction: vmont (n_in, W, n_out) Montgomery
-    Vandermonde columns; column-major X (n_in, W, R) -> (n_out, W, R)."""
-    n_in, w, r = xt.shape
+    Vandermonde columns; flat X (n_in, W*R) -> (n_out, W*R)."""
+    n_in, wr = xf.shape
+    w = wr // r
+    xt = xf.reshape(n_in, w, r)
     a = jnp.broadcast_to(xt[:, :, None, :], (n_in, w, n_out, r))
     b = jnp.broadcast_to(jnp.asarray(vmont)[:, :, :, None], a.shape)
     y = ops.mul_sum_mont(a, b)                     # (W, n_out, R)
-    return jnp.transpose(y, (1, 0, 2))
+    return jnp.transpose(y, (1, 0, 2)).reshape(n_out, wr)
 
 
 class SdigEncoding(LcEncoding):
@@ -590,18 +598,19 @@ class SdigEncoding(LcEncoding):
     def _encode_rows_impl(self, rows: jnp.ndarray) -> jnp.ndarray:
         ops = self.ops
         pre, post, vmont = self._device_mats()
-        # column-major throughout: positions lead, (W, R) vectors minor, so
-        # the expander gathers are contiguous row DMAs (see _apply_mat_device)
-        xt = jnp.transpose(rows, (2, 0, 1))  # (npr, W, R)
-        segs = [xt]  # x
-        x = xt
+        # flat column-major throughout: positions lead, (W*R) flat vectors
+        # minor — 128-lane-aligned rows for the gathers (_apply_mat_device)
+        w, r, npr = rows.shape[0], rows.shape[1], rows.shape[2]
+        xf = jnp.transpose(rows, (2, 0, 1)).reshape(npr, w * r)
+        segs = [xf]  # x
+        x = xf
         for dm in pre[:-1]:
-            x = _apply_mat_device(ops, dm, x)
+            x = _apply_mat_device(ops, dm, x, r)
             segs.append(x)
         # base case
-        tmp = _apply_mat_device(ops, pre[-1], x)
+        tmp = _apply_mat_device(ops, pre[-1], x, r)
         rs_len = post[-1].n_in
-        rs = _rs_device(ops, vmont, tmp, rs_len)
+        rs = _rs_device(ops, vmont, tmp, r, rs_len)
         segs.append(rs)
         # backward pass: postcode i input = the encoded sub-codeword starting
         # at segment i+1: [y_{i+1} | ... | rs | v_t | ... | v_{i+2}].
@@ -611,9 +620,9 @@ class SdigEncoding(LcEncoding):
         for i in range(len(post) - 1, -1, -1):
             inp = jnp.concatenate(segs[i + 1 :] + back_segs, axis=0)
             assert inp.shape[0] == post[i].n_in, (inp.shape, post[i].n_in)
-            back_segs.append(_apply_mat_device(ops, post[i], inp))
-        out = jnp.concatenate(segs + back_segs, axis=0)  # (n_cols, W, R)
-        return jnp.transpose(out, (1, 2, 0))
+            back_segs.append(_apply_mat_device(ops, post[i], inp, r))
+        out = jnp.concatenate(segs + back_segs, axis=0)  # (n_cols, W*R)
+        return jnp.transpose(out.reshape(-1, w, r), (1, 2, 0))
 
     def encode_row_host(self, row: list[int]) -> list[int]:
         assert len(row) <= self.n_cols
