@@ -449,14 +449,27 @@ def _apply_mat_device(ops, dm: _DeviceMat, xf: jnp.ndarray, r: int) -> jnp.ndarr
             vals = jnp.pad(
                 vals, [(0, k_pad - dm.kmax), (0, 0), (0, n_pad - dm.n_out)]
             )
-        g = jnp.take(xf, cols.reshape(-1), axis=0)  # (k_pad*n_pad, W*R)
-        g = jnp.transpose(g.reshape(k_pad, n_pad, w, r), (0, 2, 3, 1))
-        if r_pad > r:
-            g = jnp.pad(g, [(0, 0), (0, 0), (0, r_pad - r), (0, 0)])
-        y = spmv_pallas.spmv_mont(spec, vals, g, dm.n_out)  # (W, r_pad, n_pad)
-        return jnp.transpose(y[:, :r, : dm.n_out], (2, 0, 1)).reshape(
-            dm.n_out, wr
-        )
+        # chunk the output axis so the gathered operand block stays bounded
+        # (the temp is k_pad * n_chunk * W * r_pad * 4 bytes; at 2^23+ the
+        # unchunked gather would exceed HBM)
+        budget = 1 << 30
+        n_chunk = max(256, budget // max(1, k_pad * w * r_pad * 4))
+        n_chunk = (n_chunk // 256) * 256
+        outs = []
+        for c0 in range(0, n_pad, n_chunk):
+            c1 = min(c0 + n_chunk, n_pad)
+            g = jnp.take(xf, cols[:, c0:c1].reshape(-1), axis=0)
+            g = jnp.transpose(
+                g.reshape(k_pad, c1 - c0, w, r), (0, 2, 3, 1)
+            )
+            if r_pad > r:
+                g = jnp.pad(g, [(0, 0), (0, 0), (0, r_pad - r), (0, 0)])
+            y = spmv_pallas.spmv_mont(
+                spec, vals[:, :, c0:c1], g, c1 - c0
+            )  # (W, r_pad, c1-c0)
+            outs.append(jnp.transpose(y[:, :r, :], (2, 0, 1)))
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[: dm.n_out].reshape(dm.n_out, wr)
 
     g = jnp.take(xf, dm.cols.reshape(-1), axis=0)  # (kmax*n_out, W*R)
     g = g.reshape(dm.kmax, dm.n_out, w, r)
