@@ -703,8 +703,11 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     if not flags[T]:
         raise VerifierError("ColumnPath")
 
-    # step 4: evaluation
+    # step 4: evaluation — computed from the row view (p_eval_rows) rather
+    # than the proof.p_eval getter, which would materialize the int list and
+    # permanently invalidate the proof's fast packed representation (a second
+    # verify of the same object would then take the slow int path)
     acc = 0
-    for t_v, e_v in zip(inner_tensor, proof.p_eval):
+    for t_v, e_v in zip(inner_tensor, _repr_rows_to_ints(p_eval_rows)):
         acc = (acc + t_v * e_v) % spec.p
     return acc

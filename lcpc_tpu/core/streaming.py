@@ -29,7 +29,8 @@ import numpy as np
 from ..fs.chacha import ChaCha20Rng
 from ..fs.merlin import Transcript
 from ..fs.sampling import field_random_vec, uniform_indices
-from ..ops import blake3_jax
+from ..ops import blake3_jax, sha256_jax
+from ..ops.digest import BLAKE3, DeviceDigest
 from ..ops.limbs import get_ops
 from .encoding import LcEncoding
 from . import protocol
@@ -221,6 +222,89 @@ class StreamingColumnHasher:
         return cvs[0]
 
 
+@functools.lru_cache(maxsize=64)
+def _sha_update_fn(n_cols: int, buf_len: int, n_full: int):
+    """Jitted SHA-256 block absorber for static (n_cols, buf_len, n_full)."""
+
+    def fn(h, buf, words):
+        data = jnp.concatenate([buf[:buf_len], words], axis=0)
+        blocks = sha256_jax._bswap32(data[: n_full * 16]).reshape(
+            n_full, 16, n_cols
+        )
+        h, _ = jax.lax.scan(
+            lambda c, b: (sha256_jax._compress(c, b), None), h, blocks
+        )
+        new_buf = jax.lax.dynamic_slice(
+            jnp.pad(data, [(0, 16), (0, 0)]), (n_full * 16, 0), (16, n_cols)
+        )
+        return h, new_buf
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _sha_finalize_fn(n_cols: int, rem: int, total_words: int):
+    """Jitted final-block processor: padding + 64-bit length (static shapes)."""
+
+    msg_bits = total_words * 32
+    n_blocks = 1 if rem + 3 <= 16 else 2  # pad word + 2 length words must fit
+
+    def fin(h, buf):
+        be = sha256_jax._bswap32(buf[:rem])
+        tail = jnp.zeros((n_blocks * 16 - rem, n_cols), jnp.uint32)
+        be = jnp.concatenate([be, tail], axis=0)
+        be = be.at[rem].set(jnp.uint32(0x80000000))
+        be = be.at[n_blocks * 16 - 2].set(jnp.uint32(msg_bits >> 32))
+        be = be.at[n_blocks * 16 - 1].set(jnp.uint32(msg_bits & 0xFFFFFFFF))
+        for b in range(n_blocks):
+            h = sha256_jax._compress(h, be[b * 16 : (b + 1) * 16])
+        return sha256_jax._bswap32(h)
+
+    return jax.jit(fin)
+
+
+class StreamingSha256Hasher:
+    """Per-column SHA-256 over row blocks (Merkle-Damgard carry buffer).
+
+    Same update/finalize interface as StreamingColumnHasher and bit-identical
+    to sha256_jax.hash_word_columns over the concatenated stream; SHA-256 has
+    no chunk tree, so the carry state is just (h, <16 buffered words)."""
+
+    def __init__(self, n_cols: int, total_words: int):
+        self.n_cols = n_cols
+        self.total_words = total_words  # includes the 8-word zero prefix
+        self.h = jnp.broadcast_to(
+            jnp.asarray(sha256_jax._H0, jnp.uint32)[:, None], (8, n_cols)
+        )
+        self.buf = jnp.zeros((16, n_cols), dtype=jnp.uint32)
+        self.buf_len = 8  # the zero prefix
+        self.words_done = 0
+
+    def update(self, words: jnp.ndarray) -> None:
+        l = words.shape[0]
+        total = self.buf_len + l
+        n_full = total // 16
+        fn = _sha_update_fn(self.n_cols, self.buf_len, n_full)
+        self.h, self.buf = fn(self.h, self.buf, words)
+        self.buf_len = total - n_full * 16
+        self.words_done += l
+
+    def finalize(self) -> jnp.ndarray:
+        assert self.words_done + 8 == self.total_words, (
+            self.words_done, self.total_words
+        )
+        fn = _sha_finalize_fn(self.n_cols, self.buf_len, self.total_words)
+        return fn(self.h, self.buf)
+
+
+# streaming hashers by digest name (the digest= plug point of the streaming
+# path; protocol.commit covers the non-streaming one)
+_STREAM_HASHERS = {
+    "blake3": StreamingColumnHasher,
+    "sha256": StreamingSha256Hasher,
+}
+
+
 @dataclasses.dataclass
 class LcCommitStreaming:
     """Commit state without the codeword matrix (re-encoded on demand).
@@ -236,6 +320,7 @@ class LcCommitStreaming:
     n_cols: int
     hashes_dev: jnp.ndarray  # (8, 2*np2-1) u32 digest words, leaves first
     row_block: int
+    digest: DeviceDigest = BLAKE3
     _hashes_np: "np.ndarray | None" = None
     _root: "bytes | None" = None
 
@@ -249,9 +334,12 @@ class LcCommitStreaming:
 
     def get_root(self) -> bytes:
         if self._root is None:
-            self._root = blake3_jax.digests_to_bytes(
-                np.asarray(self.hashes_dev[:, -1:])
-            )[0].tobytes()
+            if self._hashes_np is not None:
+                self._root = bytes(self._hashes_np[-1])
+            else:
+                self._root = blake3_jax.digests_to_bytes(
+                    np.asarray(self.hashes_dev[:, -1:])
+                )[0].tobytes()
         return self._root
 
     def get_n_rows(self) -> int:
@@ -276,9 +364,12 @@ def _row_block_for(spec, n_rows: int, requested: int | None) -> int:
     return rb
 
 
-def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None
-                     ) -> LcCommitStreaming:
+def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
+                     digest: DeviceDigest = BLAKE3) -> LcCommitStreaming:
     ops = get_ops(enc.spec)
+    hasher_cls = _STREAM_HASHERS.get(digest.name)
+    if hasher_cls is None:
+        raise ValueError(f"no streaming hasher for digest {digest.name!r}")
     if isinstance(coeffs, list):
         length = len(coeffs)
         arr = jnp.asarray(ops.encode_host(coeffs))
@@ -296,7 +387,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None
     wpe = enc.spec.w16 // 2
     rb = _row_block_for(enc.spec, n_rows, row_block)
     total_words = 8 + n_rows * wpe
-    hasher = StreamingColumnHasher(n_cols, total_words)
+    hasher = hasher_cls(n_cols, total_words)
 
     encode_pack = _encode_pack_fn(enc)
 
@@ -312,12 +403,12 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None
         leaves = jnp.pad(leaves, [(0, 0), (0, n_cols_np2 - n_cols)])
     layers = [leaves]
     while layers[-1].shape[1] > 1:
-        layers.append(blake3_jax.merkle_layer(layers[-1]))
+        layers.append(digest.merkle_layer(layers[-1]))
     flat = jnp.concatenate(layers, axis=1)
 
     return LcCommitStreaming(
         enc=enc, coeffs=mat, n_rows=n_rows, n_per_row=n_per_row,
-        n_cols=n_cols, hashes_dev=flat, row_block=rb,
+        n_cols=n_cols, hashes_dev=flat, row_block=rb, digest=digest,
     )
 
 

@@ -169,11 +169,21 @@ def serialize_commit(spec: FieldSpec, comm) -> bytes:
     return b"".join(out)
 
 
-def deserialize_commit(spec: FieldSpec, data: bytes, enc):
-    """Rebuild an LcCommit (device arrays included) from serialize_commit."""
+def deserialize_commit(spec: FieldSpec, data: bytes, enc, digest=None):
+    """Rebuild an LcCommit (device arrays included) from serialize_commit.
+
+    The wire bytes are a bincode mirror of WrappedLcCommit<D>, whose digest
+    lives in the Rust TYPE, not the byte stream — so the caller declares it
+    here (exactly as Rust deserializes into a concrete LcCommit<D, E>),
+    defaulting to BLAKE3.  Passing the wrong digest mismatches the hashes
+    array the same way the wrong D type parameter would."""
     import jax.numpy as jnp
 
+    from ..ops.digest import BLAKE3
     from .protocol import LcCommit
+
+    if digest is None:
+        digest = BLAKE3
 
     r = _Reader(data)
     w = spec.w16
@@ -207,5 +217,6 @@ def deserialize_commit(spec: FieldSpec, data: bytes, enc):
         n_per_row=n_per_row,
         n_cols=n_cols,
         hashes_dev=jnp.asarray(blake3_jax.bytes_to_digests(hashes)),
+        digest=digest,
         _hashes_np=hashes,
     )

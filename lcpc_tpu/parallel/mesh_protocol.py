@@ -42,6 +42,7 @@ from ..core import protocol
 from ..core.protocol import LcColumn, LcEvalProof, _next_pow2, _pack_words
 from ..fs.merlin import Transcript
 from ..ops import blake3_jax
+from ..ops.digest import BLAKE3, DeviceDigest
 from ..ops.limbs import get_ops
 
 
@@ -66,6 +67,7 @@ class ShardedCommit:
     n_per_row: int
     n_cols: int           # true codeword length (pad columns dropped)
     hashes_dev: jax.Array  # (8, 2*np2-1) u32 digest words, replicated
+    digest: DeviceDigest = BLAKE3
     _hashes_np: "np.ndarray | None" = None
     _root: "bytes | None" = None
 
@@ -109,15 +111,17 @@ _commit_fn_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _collapse_fn_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int):
+def _commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int,
+               digest: DeviceDigest):
     per_enc = _commit_fn_cache.setdefault(enc, {})
-    key = (mesh, n_rows, n_rows_pad)
+    key = (mesh, n_rows, n_rows_pad, digest.name)
     if key not in per_enc:
-        per_enc[key] = _build_commit_fn(enc, mesh, n_rows, n_rows_pad)
+        per_enc[key] = _build_commit_fn(enc, mesh, n_rows, n_rows_pad, digest)
     return per_enc[key]
 
 
-def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int):
+def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int,
+                     digest: DeviceDigest):
     """Jitted sharded commit: coeffs (W, Rp, np) row-sharded ->
     (flat hash layers (8, 2*np2-1) replicated, comm_cols column-sharded)."""
     ops = get_ops(enc.spec)
@@ -140,7 +144,7 @@ def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int):
         #    covers exactly n_rows elements, lib.rs:706-745)
         canon = ops.from_mont(comm_cols[:, :n_rows, :])
         words = _pack_words(ops, canon)
-        leaves_local = blake3_jax.hash_word_columns(words)  # (8, nc_pad/n)
+        leaves_local = digest.hash_word_columns(words)  # (8, nc_pad/n)
         # 4. replicate the tiny leaf layer and build the full Merkle tree on
         #    every device — identical layers to the serial merkleize
         leaves = jax.lax.all_gather(
@@ -151,7 +155,7 @@ def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int):
             leaves = jnp.pad(leaves, [(0, 0), (0, np2 - nc)])
         layers = [leaves]
         while layers[-1].shape[1] > 1:
-            layers.append(blake3_jax.merkle_layer(layers[-1]))
+            layers.append(digest.merkle_layer(layers[-1]))
         flat = jnp.concatenate(layers, axis=1)  # (8, 2*np2-1)
         return flat, comm_cols
 
@@ -165,20 +169,27 @@ def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int):
     return jax.jit(fn)
 
 
-def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh) -> ShardedCommit:
+def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh,
+                   digest: DeviceDigest = BLAKE3) -> ShardedCommit:
     """Commit over the mesh; `hashes` is byte-identical to protocol.commit.
 
     `coeffs` is a list of canonical ints or a (W, N) uint32 Montgomery limb
-    array (same contract as protocol.commit, lib.rs:622-671).
+    array (same contract as protocol.commit, lib.rs:622-671).  A jax.Array
+    stays on device: padding/reshape run there and device_put reshards it
+    onto the mesh directly (at 2^26 a host round trip would push ~2 GB
+    through the host link; already-placed arrays must never leave device).
     """
     ops = get_ops(enc.spec)
     if isinstance(coeffs, list):
         length = len(coeffs)
-        arr = np.asarray(ops.encode_host(coeffs))
-    else:
-        arr = np.asarray(jax.device_get(coeffs))
-        assert arr.ndim == 2 and arr.shape[0] == ops.w
+        arr = jnp.asarray(np.asarray(ops.encode_host(coeffs)))
+    elif isinstance(coeffs, jax.Array):
+        arr = coeffs
         length = arr.shape[1]
+    else:
+        arr = jnp.asarray(np.asarray(coeffs))
+        length = arr.shape[1]
+    assert arr.ndim == 2 and arr.shape[0] == ops.w
 
     n_rows, n_per_row, n_cols = enc.get_dims(length)
     assert enc.dims_ok(n_per_row, n_cols)
@@ -187,16 +198,19 @@ def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh) -> ShardedCommit:
 
     pad = n_rows_pad * n_per_row - length
     if pad:
-        arr = np.pad(arr, [(0, 0), (0, pad)])
+        arr = jnp.pad(arr, [(0, 0), (0, pad)])
     mat = arr.reshape(ops.w, n_rows_pad, n_per_row)
     axis = mesh.axis_names[0]
     coeffs_sh = jax.device_put(mat, NamedSharding(mesh, P(None, axis, None)))
 
-    flat, comm_cols = _commit_fn(enc, mesh, n_rows, n_rows_pad)(coeffs_sh)
+    flat, comm_cols = _commit_fn(enc, mesh, n_rows, n_rows_pad, digest)(
+        coeffs_sh
+    )
 
     return ShardedCommit(
         enc=enc, mesh=mesh, coeffs=coeffs_sh, comm_cols=comm_cols,
         n_rows=n_rows, n_per_row=n_per_row, n_cols=n_cols, hashes_dev=flat,
+        digest=digest,
     )
 
 

@@ -92,3 +92,27 @@ def test_sharded_rows_divisible():
     enc = LigeroEncoding.new_from_dims(spec, 64, 128)
     length = 64 * 16
     _run_e2e(spec, enc, length, seed=303)
+
+
+def test_sharded_sha256_and_device_resident_coeffs():
+    """digest= reaches the mesh path, and a device-resident (jax.Array)
+    coefficient input commits without a host round trip."""
+    import jax.numpy as jnp
+
+    from lcpc_tpu.ops.digest import SHA256
+    from lcpc_tpu.ops.limbs import get_ops
+
+    spec = FT63
+    ops = get_ops(spec)
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 16
+    rng = random.Random(404)
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+    mesh = mesh_protocol.make_mesh(jax.devices()[:8])
+
+    serial = protocol.commit(coeffs, enc, digest=SHA256)
+    arr = jnp.asarray(np.asarray(ops.encode_host(coeffs)))  # device array
+    sharded = mesh_protocol.sharded_commit(arr, enc, mesh, digest=SHA256)
+
+    assert np.array_equal(sharded.hashes, serial.hashes)
+    assert sharded.get_root() == serial.get_root()

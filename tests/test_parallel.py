@@ -1,5 +1,6 @@
-"""Multi-device tests on the virtual CPU mesh: sharded commit, sharded
-collapse, and the distributed (all-to-all) NTT vs their single-device twins."""
+"""Multi-device tests on the virtual CPU mesh: the distributed (all-to-all)
+NTT and the sharded collapse vs their single-device twins.  The full sharded
+protocol (commit/prove parity) lives in test_mesh_protocol.py."""
 
 import random
 
@@ -10,7 +11,7 @@ import jax
 from lcpc_tpu.fields import FT63
 from lcpc_tpu.ops.limbs import get_ops
 from lcpc_tpu.ops.ntt import get_ntt
-from lcpc_tpu.parallel import mesh_commit
+from lcpc_tpu.parallel import mesh_protocol
 from lcpc_tpu.parallel.dist_ntt import DistNtt
 
 pytestmark = pytest.mark.skipif(
@@ -23,7 +24,7 @@ def test_dist_ntt_matches_single_device():
     ops = get_ops(spec)
     n = 256
     rows = 3
-    mesh = mesh_commit.make_mesh(jax.devices()[:4], axis="c")
+    mesh = mesh_protocol.make_mesh(jax.devices()[:4], axis="c")
     dntt = DistNtt(spec, n, mesh, axis="c")
 
     rng = random.Random(11)
@@ -39,7 +40,7 @@ def test_dist_ntt_eight_devices():
     spec = FT63
     ops = get_ops(spec)
     n = 1024
-    mesh = mesh_commit.make_mesh(jax.devices()[:8], axis="c")
+    mesh = mesh_protocol.make_mesh(jax.devices()[:8], axis="c")
     dntt = DistNtt(spec, n, mesh)
     rng = random.Random(12)
     row = [rng.randrange(spec.p) for _ in range(n)]
@@ -52,23 +53,25 @@ def test_dist_ntt_eight_devices():
 def test_sharded_collapse_matches_host():
     spec = FT63
     ops = get_ops(spec)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lcpc_tpu.core import protocol
     from lcpc_tpu.encodings.ligero import LigeroEncoding
 
     enc = LigeroEncoding.new_from_dims(spec, 64, 128)
-    mesh = mesh_commit.make_mesh(jax.devices()[:4], axis="r")
+    mesh = mesh_protocol.make_mesh(jax.devices()[:4], axis="r")
     rng = random.Random(13)
     n_rows = 8
     coeffs = [[rng.randrange(spec.p) for _ in range(64)] for _ in range(n_rows)]
     tensor = [rng.randrange(spec.p) for _ in range(n_rows)]
 
-    mat = np.stack([ops.encode_host(r) for r in coeffs], axis=1)
-    t = ops.encode_host(tensor)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    mat = np.stack([ops.encode_host(r) for r in coeffs], axis=1)  # (W, R, np)
+    ts = ops.encode_host(tensor)[:, None, :]  # (W, T=1, R)
 
-    mat_sh = mesh_commit.shard_rows(mesh, mat)
-    t_sh = jax.device_put(t, NamedSharding(mesh, P(None, "r")))
-    fn = mesh_commit.sharded_collapse_fn(enc, mesh)
-    got = ops.decode_host(fn(t_sh, mat_sh))
+    mat_sh = jax.device_put(mat, NamedSharding(mesh, P(None, "r", None)))
+    ts_sh = jax.device_put(ts, NamedSharding(mesh, P(None, None, "r")))
+    words = np.asarray(mesh_protocol._build_collapse_fn(enc, mesh)(ts_sh, mat_sh))
+    got = protocol._repr_rows_to_ints(protocol._words_to_repr_rows(words[0]))
 
     want = [0] * 64
     for row_vals, tv in zip(coeffs, tensor):

@@ -54,3 +54,34 @@ def test_streaming_matches_inmemory(row_block):
     for i, c in enumerate(coeffs):
         want = (want + c * pow(x, i, spec.p)) % spec.p
     assert got == want
+
+
+def test_streaming_sha256_digest():
+    """digest= genericity reaches the streaming path (SHA-256 carry hasher)."""
+    from lcpc_tpu.ops.digest import SHA256
+
+    spec = FT63
+    rng = random.Random(88)
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 300 - 5
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+
+    mem = protocol.commit(coeffs, enc, digest=SHA256)
+    stream = streaming.commit_streaming(
+        coeffs, enc, row_block=128, digest=SHA256
+    )
+    # byte view first, then root: get_root must reuse the materialized bytes
+    assert np.array_equal(stream.hashes, mem.hashes)
+    assert stream.get_root() == mem.get_root()
+
+    x = rng.randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, mem.n_per_row, mem.n_rows)
+    pf = stream.prove(outer, _preamble(enc, stream.get_root()))
+    got = protocol.verify(
+        stream.get_root(), outer, inner, pf, enc,
+        _preamble(enc, stream.get_root()), digest=SHA256,
+    )
+    want = 0
+    for i, c in enumerate(coeffs):
+        want = (want + c * pow(x, i, spec.p)) % spec.p
+    assert got == want
