@@ -115,6 +115,21 @@ class LcColumn:
     path: list[bytes]
 
 
+@dataclasses.dataclass
+class BatchedColumns:
+    """All opened columns + paths as two rectangular arrays.
+
+    The fast internal form: the prover's device gather emits exactly these
+    arrays, and the verifier uploads them wholesale — materializing
+    thousands of per-column LcColumn objects (lists of 32-byte path nodes)
+    costs 100s of ms of pure Python at Brakedown's ~6.6k openings, an order
+    of magnitude more than every device dispatch of prove combined.
+    """
+
+    col_w: np.ndarray  # (W/2, n_rows, k) packed u32 Montgomery words
+    paths: np.ndarray  # (k, path_len, 32) uint8 sibling digests
+
+
 class LcEvalProof:
     """Evaluation proof (lib.rs:491-500).
 
@@ -126,18 +141,73 @@ class LcEvalProof:
     materialized list may be mutated by the caller (the reference's proof
     structs are plain data), so materializing invalidates the rows and all
     consumers fall back to the int form.
+
+    Columns follow the same two-form pattern: a BatchedColumns array pair
+    (the prover emits it, verify/serialize consume it wholesale) or a
+    mutable list of LcColumn; materializing the list invalidates the
+    batched form.
     """
 
     def __init__(self, n_cols: int, p_eval=None, p_random_vec=None,
-                 columns=None, *, p_eval_rows=None, p_random_rows=None):
+                 columns=None, *, p_eval_rows=None, p_random_rows=None,
+                 columns_batched: "BatchedColumns | None" = None):
         self.n_cols = n_cols
-        self.columns: list[LcColumn] = columns
+        assert (columns is None) != (columns_batched is None)
+        self._columns_list: "list[LcColumn] | None" = columns
+        self._columns_batched = columns_batched
         assert (p_eval is None) != (p_eval_rows is None)
         assert (p_random_vec is None) != (p_random_rows is None)
         self._p_eval = p_eval
         self._p_eval_rows = p_eval_rows
         self._p_random_vec = p_random_vec
         self._p_random_rows = p_random_rows
+
+    # -- column views ----------------------------------------------------------
+
+    @property
+    def columns(self) -> "list[LcColumn]":
+        """Mutable per-column view (the reference's pub Vec<LcColumn>);
+        materializing invalidates the batched arrays (they may go stale)."""
+        if self._columns_list is None:
+            b = self._columns_batched
+            gathered = _unpack_cols(b.col_w)  # (W, R, k)
+            k = b.col_w.shape[2]
+            self._columns_list = [
+                LcColumn(
+                    col_mont=gathered[:, :, j],
+                    path=[bytes(b.paths[j, lvl]) for lvl in range(b.paths.shape[1])],
+                )
+                for j in range(k)
+            ]
+            self._columns_batched = None
+        return self._columns_list
+
+    @columns.setter
+    def columns(self, v: "list[LcColumn]") -> None:
+        self._columns_list = v
+        self._columns_batched = None
+
+    def n_columns(self) -> int:
+        if self._columns_batched is not None:
+            return self._columns_batched.col_w.shape[2]
+        return len(self._columns_list)
+
+    def columns_batched(self) -> "BatchedColumns":
+        """Batched array view; built from the list form if needed.
+
+        The list path requires rectangular shapes (an LcColumn list is
+        caller-mutable) — callers wanting typed errors on malformed proofs
+        must pre-check, as verify() does.
+        """
+        if self._columns_batched is not None:
+            return self._columns_batched
+        cols = self._columns_list
+        col_mat = np.stack([c.col_mont for c in cols], axis=2)  # (W, R, k)
+        col_w = col_mat[0::2] | (col_mat[1::2] << np.uint32(16))
+        paths = np.frombuffer(
+            b"".join(b"".join(c.path) for c in cols), dtype=np.uint8
+        ).reshape(len(cols), len(cols[0].path), 32)
+        return BatchedColumns(col_w=col_w, paths=paths)
 
     # -- lazy int views (mutable, like the reference's pub Vec fields) ---------
 
@@ -354,13 +424,9 @@ def path_node_indices(n_cols: int, cols: list[int]) -> np.ndarray:
         if size == 1:
             break
         size //= 2
-    out = np.empty((len(cols), path_len), dtype=np.int32)
-    for k, c in enumerate(cols):
-        cc = c
-        for lvl in range(path_len):
-            out[k, lvl] = offsets[lvl] + (cc ^ 1)
-            cc >>= 1
-    return out
+    cc = np.asarray(cols, dtype=np.int64)[:, None] >> np.arange(path_len)[None, :]
+    return (np.asarray(offsets[:path_len], dtype=np.int64)[None, :] + (cc ^ 1)
+            ).astype(np.int32)
 
 
 def merkle_paths(hashes: np.ndarray, n_cols: int, cols: list[int]) -> list[list[bytes]]:
@@ -401,25 +467,16 @@ def _unpack_cols(words: np.ndarray) -> np.ndarray:
 
 def _columns_from_parts(gathered_w: np.ndarray, path_digs: np.ndarray,
                         inv: np.ndarray, k: int, path_len: int
-                        ) -> list[LcColumn]:
-    """Assemble LcColumns from the fetched packed words + unique path
-    digests (`inv` maps flat (k*L) path slots to unique-digest rows)."""
-    gathered = _unpack_cols(gathered_w)
+                        ) -> BatchedColumns:
+    """Assemble the batched column arrays from the fetched packed words +
+    unique path digests (`inv` maps flat (k*L) path slots to unique-digest
+    rows)."""
     uniq_bytes = blake3_jax.digests_to_bytes(path_digs)  # (n_uniq, 32)
-    path_bytes = uniq_bytes[inv]  # (k*L, 32)
-    return [
-        LcColumn(
-            col_mont=gathered[:, :, j],
-            path=[
-                path_bytes[j * path_len + lvl].tobytes()
-                for lvl in range(path_len)
-            ],
-        )
-        for j in range(k)
-    ]
+    paths = uniq_bytes[inv].reshape(k, path_len, 32)
+    return BatchedColumns(col_w=gathered_w, paths=paths)
 
 
-def _open_columns(comm: LcCommit, cols: list[int]) -> list[LcColumn]:
+def _open_columns(comm: LcCommit, cols: list[int]) -> BatchedColumns:
     """Extract columns + Merkle paths (open_column, lib.rs:788-825).
 
     Sibling paths of the opened columns share most upper-tree nodes (the
@@ -445,7 +502,7 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
 
     collapse_words_fn: (W, T, n_rows) Montgomery np tensor stack ->
         (T, n_per_row, W/2) canonical wire words (single- or multi-device).
-    open_columns_fn: list of column indices -> list[LcColumn].
+    open_columns_fn: list of column indices -> BatchedColumns.
     The FS order p_random(s) -> p_eval -> column indices is load-bearing.
     """
     spec = enc.spec
@@ -491,7 +548,7 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
         n_cols=n_cols,
         p_eval_rows=eval_rows,
         p_random_rows=p_random_rows,
-        columns=columns,
+        columns_batched=columns,
     )
 
 
@@ -556,14 +613,19 @@ def _verify_core_fn(ops, digest: DeviceDigest = BLAKE3):
       ts        (W, T, R)  Montgomery — [rand_tensors..., outer_tensor]
       col_w     (W/2, R, k) u32 — opened column values, packed Montgomery
       idx       (k,) int32 — opened column indices
-      sibs      (L, 8, k) u32 — Merkle sibling digests per level
+      uniq_sibs (8, U) u32 — UNIQUE sibling digests (paths share most
+                upper-tree nodes; deduplicating by value before upload cuts
+                the verifier's dominant host->device transfer ~4x and is
+                exactly equivalent to per-path checks: equal values map to
+                one slot, differing values stay distinct)
+      inv       (L, k) int32 — per-level map from column to unique digest
       bits      (L, k) bool — is-right bit of the walk at each level
       root_w    (8,) u32 — expected root digest words
     Returns (T+2,) u32 flags: per-row dot check [0..T), path check [T],
     (slot T+1 reserved/unused).
     """
 
-    def core(enc_rows, ts, col_w, idx, sibs, bits, root_w):
+    def core(enc_rows, ts, col_w, idx, uniq_sibs, inv, bits, root_w):
         col_mat = _unpack_words_dev(col_w)                # (W, R, k)
         got = ops.collapse_canon(ts, col_mat)             # (W, T, k) canonical
         want = ops.from_mont(jnp.take(enc_rows, idx, axis=2))
@@ -572,8 +634,8 @@ def _verify_core_fn(ops, digest: DeviceDigest = BLAKE3):
         canon = ops.from_mont(col_mat)
         words = _pack_words(ops, canon)
         digs = digest.hash_word_columns(words)            # (8, k)
-        for lvl in range(sibs.shape[0]):
-            s = sibs[lvl]
+        for lvl in range(inv.shape[0]):
+            s = jnp.take(uniq_sibs, inv[lvl], axis=1)     # (8, k)
             is_right = bits[lvl]
             left = jnp.where(is_right, s, digs)
             right = jnp.where(is_right, digs, s)
@@ -600,9 +662,12 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     ops = get_ops(spec)
 
     n_col_opens = enc.get_n_col_opens()
-    if n_col_opens != len(proof.columns) or n_col_opens == 0:
+    if n_col_opens != proof.n_columns() or n_col_opens == 0:
         raise VerifierError("NumColOpens")
-    n_rows = proof.columns[0].col_mont.shape[1]
+    if proof._columns_batched is not None:
+        n_rows = proof._columns_batched.col_w.shape[1]
+    else:
+        n_rows = proof._columns_list[0].col_mont.shape[1]
     n_cols = proof.get_n_cols()
     n_per_row = proof.get_n_per_row()
     if len(inner_tensor) != n_per_row:
@@ -635,13 +700,23 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     if not _rows_lt_p(spec, p_eval_rows):
         raise VerifierError("EncodingDims")
     expected_path_len = max(0, _next_pow2(n_cols).bit_length() - 1)
-    for col in proof.columns:
-        if col.col_mont.shape != (ops.w, n_rows):
+    if proof._columns_batched is not None:
+        batched = proof._columns_batched
+        if batched.col_w.shape != (ops.w // 2, n_rows, n_col_opens):
             raise VerifierError("ColumnDegree")
-        if len(col.path) != expected_path_len or any(
-            len(h) != 32 for h in col.path
-        ):
+        if batched.paths.shape != (n_col_opens, expected_path_len, 32):
             raise VerifierError("ColumnPath")
+    else:
+        # caller-mutated per-column form: re-validate rectangularity with
+        # the reference's typed error kinds before stacking
+        for col in proof._columns_list:
+            if col.col_mont.shape != (ops.w, n_rows):
+                raise VerifierError("ColumnDegree")
+            if len(col.path) != expected_path_len or any(
+                len(h) != 32 for h in col.path
+            ):
+                raise VerifierError("ColumnPath")
+        batched = proof.columns_batched()
 
     # step 1 (host/transcript only): re-derive degree-test tensors and the
     # column challenge — FS order p_random(s) -> p_eval -> columns
@@ -672,18 +747,35 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
         [ops.encode_host(t) for t in rand_tensors] + [ops.encode_host(outer_tensor)],
         axis=1,
     )  # (W, T, n_rows) Montgomery
-    col_mat = np.stack([c.col_mont for c in proof.columns], axis=2)  # (W, R, k)
-    col_w = col_mat[0::2] | (col_mat[1::2] << np.uint32(16))  # (W/2, R, k)
+    col_w = batched.col_w  # (W/2, R, k) packed Montgomery words
     idx = np.asarray(cols_to_open, dtype=np.int32)
 
-    path_len = len(proof.columns[0].path)
-    col_bits = np.asarray(cols_to_open, dtype=np.int64)
-    sibs = np.zeros((path_len, 8, len(proof.columns)), dtype=np.uint32)
-    for lvl in range(path_len):
-        lvl_bytes = np.stack(
-            [np.frombuffer(c.path[lvl], dtype=np.uint8) for c in proof.columns]
+    # sibling digests dedup by VALUE: honest paths share most upper-tree
+    # nodes (~4x fewer uniques at Brakedown's 6.6k openings), and equal
+    # values collapsing to one slot is check-for-check equivalent to the
+    # reference's independent per-path walks (lib.rs:955-982).  Fast path:
+    # group by TREE POSITION (known from the re-derived column indices) and
+    # verify the groups are value-consistent with one vectorized compare —
+    # byte-record np.unique costs ~70 ms at 86k nodes, position unique ~5 ms.
+    # Inconsistent groups (adversarial only) fall back to value dedup.
+    path_len = expected_path_len
+    flat = np.ascontiguousarray(batched.paths).reshape(-1, 32)
+    pos = path_node_indices(n_cols, cols_to_open).reshape(-1)  # (k*L,)
+    uniq_pos, first_idx, inv = np.unique(
+        pos, return_index=True, return_inverse=True
+    )
+    uniq_bytes = flat[first_idx]  # (U, 32) representative per position
+    if not np.array_equal(uniq_bytes[inv], flat):
+        uniq_v, inv = np.unique(
+            flat.view([("v", "V32")]).reshape(-1), return_inverse=True
         )
-        sibs[lvl] = blake3_jax.bytes_to_digests(lvl_bytes)
+        uniq_bytes = np.ascontiguousarray(uniq_v.view(np.uint8)).reshape(-1, 32)
+    uniq_sibs = blake3_jax.bytes_to_digests(uniq_bytes)  # (8, U)
+    inv = np.ascontiguousarray(
+        inv.reshape(n_col_opens, path_len).T
+    ).astype(np.int32)  # (L, k)
+
+    col_bits = np.asarray(cols_to_open, dtype=np.int64)
     bits = ((col_bits[None, :] >> np.arange(path_len)[:, None]) & 1).astype(bool)
     root_w = np.frombuffer(root, dtype="<u4").astype(np.uint32)
 
@@ -691,8 +783,8 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     flags = np.asarray(
         _verify_core_fn(ops, digest)(
             enc_rows, jnp.asarray(ts), jnp.asarray(col_w),
-            jnp.asarray(idx), jnp.asarray(sibs), jnp.asarray(bits),
-            jnp.asarray(root_w),
+            jnp.asarray(idx), jnp.asarray(uniq_sibs), jnp.asarray(inv),
+            jnp.asarray(bits), jnp.asarray(root_w),
         )
     )
     for i in range(n_degree_tests_):

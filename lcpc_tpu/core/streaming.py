@@ -355,13 +355,31 @@ class LcCommitStreaming:
         return prove_streaming(self, outer_tensor, self.enc, tr)
 
 
-def _row_block_for(spec, n_rows: int, requested: int | None) -> int:
-    """Largest block <= requested whose per-column word count is 256-aligned."""
+def _row_block_for(spec, n_rows: int, n_cols: int,
+                   requested: int | None) -> int:
+    """Pick the encode/hash row block.
+
+    Sized from an HBM budget (LCPC_STREAM_BYTES, default 6 GiB): the block's
+    transient footprint is ~3 codeword-block copies for the NTT/SpMV ladder
+    plus the packed word block.  Large blocks are rounded so the per-column
+    word count is 256-aligned (the hasher's carry buffer stays empty — one
+    compiled update); small blocks fall back to a power of two, whose carry
+    length cycles through <= 8 values (a handful of cached traces) — this is
+    what lets 2^25 ft255 codewords (10 GB per 256 rows) stream on a 16 GB
+    chip with 32..128-row blocks.
+    """
+    import os
+
     wpe = spec.w16 // 2
+    if requested is None:
+        budget = int(os.environ.get("LCPC_STREAM_BYTES", str(6 << 30)))
+        per_row = n_cols * (12 * spec.w16 + 4 * wpe) + 1
+        requested = max(32, budget // per_row)
+    rb = max(1, min(requested, n_rows))
     align = 256 // np.gcd(256, wpe)  # rows per 256-word boundary
-    rb = requested or max(align, min(n_rows, 2048))
-    rb = max(align, (rb // align) * align)
-    return rb
+    if rb >= align:
+        return (rb // align) * align
+    return 1 << max(5, rb.bit_length() - 1)
 
 
 def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
@@ -385,7 +403,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     mat = arr.reshape(ops.w, n_rows, n_per_row)
 
     wpe = enc.spec.w16 // 2
-    rb = _row_block_for(enc.spec, n_rows, row_block)
+    rb = _row_block_for(enc.spec, n_rows, n_cols, row_block)
     total_words = 8 + n_rows * wpe
     hasher = hasher_cls(n_cols, total_words)
 
@@ -464,7 +482,7 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
 
     return LcEvalProof(
         n_cols=comm.n_cols, p_eval_rows=eval_rows, p_random_rows=p_random_rows,
-        columns=protocol._columns_from_parts(
+        columns_batched=protocol._columns_from_parts(
             col_w, np.asarray(path_digs), inv,
             len(cols_to_open), path_idx.shape[1],
         ),

@@ -48,20 +48,53 @@ def _digest(b: bytes) -> bytes:
     return _u64(len(b)) + b
 
 
+def _proof_row_ints(proof: LcEvalProof, which: str, i: int = 0) -> list[int]:
+    """Int views of p_eval / p_random_vec[i] WITHOUT invalidating the proof's
+    fast packed-row representation (the public getters hand out mutable
+    lists, so they must drop the rows; serialization only reads)."""
+    if which == "eval":
+        if proof._p_eval is not None:
+            return proof._p_eval
+        from .protocol import _repr_rows_to_ints
+
+        return _repr_rows_to_ints(proof._p_eval_rows)
+    if proof._p_random_vec is not None:
+        return proof._p_random_vec[i]
+    from .protocol import _repr_rows_to_ints
+
+    return _repr_rows_to_ints(proof._p_random_rows[i])
+
+
 def serialize_proof(spec: FieldSpec, proof: LcEvalProof) -> bytes:
     out = [_u64(proof.n_cols)]
-    out.append(_felem_vec(spec, proof.p_eval))
-    out.append(_u64(len(proof.p_random_vec)))
-    for row in proof.p_random_vec:
-        out.append(_felem_vec(spec, row))
-    out.append(_u64(len(proof.columns)))
-    for col in proof.columns:
-        n_rows = col.col_mont.shape[1]
-        out.append(_u64(n_rows))
-        out.append(_col_mont_bytes(col.col_mont))
-        out.append(_u64(len(col.path)))
-        for p in col.path:
-            out.append(_digest(p))
+    out.append(_felem_vec(spec, _proof_row_ints(proof, "eval")))
+    n_pr = (len(proof._p_random_vec) if proof._p_random_vec is not None
+            else len(proof._p_random_rows))
+    out.append(_u64(n_pr))
+    for i in range(n_pr):
+        out.append(_felem_vec(spec, _proof_row_ints(proof, "random", i)))
+    # columns: one vectorized pass over the batched arrays (per-column
+    # Python assembly costs 100s of ms at Brakedown's ~6.6k openings)
+    if proof.n_columns() == 0:
+        out.append(_u64(0))
+        return b"".join(out)
+    b = proof.columns_batched()
+    halfw, n_rows, k = b.col_w.shape
+    path_len = b.paths.shape[1]
+    out.append(_u64(k))
+    elem_bytes = n_rows * halfw * 4
+    rec = np.zeros((k, 8 + elem_bytes + 8 + path_len * 40), dtype=np.uint8)
+    rec[:, 0:8] = np.frombuffer(_u64(n_rows), dtype=np.uint8)
+    cols_t = np.ascontiguousarray(
+        np.transpose(b.col_w, (2, 1, 0)).astype("<u4")
+    )  # (k, R, W/2) words, LE == Montgomery limb bytes
+    rec[:, 8 : 8 + elem_bytes] = cols_t.view(np.uint8).reshape(k, elem_bytes)
+    off = 8 + elem_bytes
+    rec[:, off : off + 8] = np.frombuffer(_u64(path_len), dtype=np.uint8)
+    pr = rec[:, off + 8 :].reshape(k, path_len, 40)
+    pr[:, :, 0:8] = np.frombuffer(_u64(32), dtype=np.uint8)
+    pr[:, :, 8:] = b.paths
+    out.append(rec.tobytes())
     return b"".join(out)
 
 
@@ -93,28 +126,48 @@ def _read_felem_vec(spec: FieldSpec, r: _Reader) -> list[int]:
 
 
 def deserialize_proof(spec: FieldSpec, data: bytes) -> LcEvalProof:
+    from .protocol import BatchedColumns
+
     r = _Reader(data)
     n_cols = r.u64()
     p_eval = _read_felem_vec(spec, r)
     n_pr = r.u64()
     p_random_vec = [_read_felem_vec(spec, r) for _ in range(n_pr)]
     n_columns = r.u64()
-    columns = []
     w = spec.w16
-    for _ in range(n_columns):
-        n_rows = r.u64()
-        raw = r.take(n_rows * spec.repr_bytes)
-        u16 = np.frombuffer(raw, dtype="<u2").reshape(n_rows, w)
-        col_mont = np.ascontiguousarray(u16.T).astype(np.uint32)
-        n_path = r.u64()
-        path = []
-        for _ in range(n_path):
-            ln = r.u64()
-            path.append(r.take(ln))
-        columns.append(LcColumn(col_mont=col_mont, path=path))
+    if n_columns == 0:
+        assert r.pos == len(data), "trailing bytes"
+        return LcEvalProof(n_cols=n_cols, p_eval=p_eval,
+                           p_random_vec=p_random_vec, columns=[])
+    # rectangular fast path: every honest proof has uniform (n_rows,
+    # path_len, 32-byte digests), so the column block parses as one array
+    n_rows = r.u64()
+    elem_bytes = n_rows * spec.repr_bytes
+    path_len_probe = struct.unpack_from("<Q", data, r.pos + elem_bytes)[0]
+    rec_size = 8 + elem_bytes + 8 + path_len_probe * 40
+    r.pos -= 8
+    assert len(data) - r.pos == n_columns * rec_size, "malformed columns"
+    rec = np.frombuffer(r.take(n_columns * rec_size), dtype=np.uint8).reshape(
+        n_columns, rec_size
+    )
+    heads = rec[:, 0:8].copy().view("<u8").reshape(-1)
+    assert (heads == n_rows).all(), "ragged column rows"
+    pl = rec[:, 8 + elem_bytes : 16 + elem_bytes].copy().view("<u8").reshape(-1)
+    assert (pl == path_len_probe).all(), "ragged path lengths"
+    pr = rec[:, 16 + elem_bytes :].reshape(n_columns, path_len_probe, 40)
+    lens = np.ascontiguousarray(pr[:, :, 0:8]).view("<u8")
+    assert (lens == 32).all(), "bad digest length"
+    paths = np.ascontiguousarray(pr[:, :, 8:])  # (k, L, 32)
+    words = np.ascontiguousarray(rec[:, 8 : 8 + elem_bytes]).view(
+        "<u4"
+    ).reshape(n_columns, n_rows, w // 2)
+    col_w = np.ascontiguousarray(np.transpose(words, (2, 1, 0))).astype(
+        np.uint32
+    )
     assert r.pos == len(data), "trailing bytes"
     return LcEvalProof(
-        n_cols=n_cols, p_eval=p_eval, p_random_vec=p_random_vec, columns=columns
+        n_cols=n_cols, p_eval=p_eval, p_random_vec=p_random_vec,
+        columns_batched=BatchedColumns(col_w=col_w, paths=paths),
     )
 
 

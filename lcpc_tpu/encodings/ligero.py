@@ -48,10 +48,10 @@ def _pick_ntt(spec: FieldSpec, n: int):
     if use_mxu:
         from ..ops.mxu_ntt import get_mxu_ntt, mxu_supported
 
-        if mxu_supported(n):
+        if mxu_supported(spec, n):
             return get_mxu_ntt(spec, n)
-        # beyond the single-level contraction cap (A > 1024, i.e. n > 2^20):
-        # the VPU butterfly ladder has no size cap below the 2-adicity bound
+        # beyond the int8-conv contraction cap (conv_cap; n > 2^22 for
+        # ft255): the VPU ladder has no size cap below the 2-adicity bound
     return get_ntt(spec, n)
 
 

@@ -48,26 +48,45 @@ def _pick_ab(n: int) -> tuple[int, int]:
     return a, n // a
 
 
-def mxu_supported(n: int) -> bool:
-    """True if the single-level 4-step contraction covers size n (A <= 1024,
-    i.e. n <= 2^20); callers fall back to the VPU ladder beyond it."""
-    return n >= 4 and _pick_ab(n)[0] <= 1024
+def conv_cap(spec: FieldSpec) -> int:
+    """Largest power-of-two DFT contraction length the int8 conv can take.
+
+    Each conv output plane accumulates <= A * W7 * 127^2 into an int32 (A
+    channel-contraction terms, <= W7 aligned digit taps each); the Montgomery
+    radix R7 widens with A automatically (see MxuNttPlan.w7r), so the int32
+    accumulator is the only hard ceiling: 2048 for ft255 (n <= 2^22), 4096
+    for ft127/ft191, 8192 for ft63."""
+    w7 = (spec.num_bits + 6) // 7
+    cap = (1 << 31) // (w7 * 127 * 127)
+    return 1 << (cap.bit_length() - 1)
+
+
+def mxu_supported(spec: FieldSpec, n: int) -> bool:
+    """True if the single-level 4-step contraction covers size n for this
+    field (A <= conv_cap); callers fall back to the VPU ladder beyond it."""
+    return n >= 4 and _pick_ab(n)[0] <= conv_cap(spec)
 
 
 class MxuNttPlan:
-    def __init__(self, spec: FieldSpec, n: int):
+    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None):
         assert n & (n - 1) == 0 and n >= 4
         self.spec = spec
         self.n = n
-        self.a, self.b = _pick_ab(n)
-        assert self.a <= 1024, "single-level contraction capped at 1024"
+        if a is None:
+            self.a, self.b = _pick_ab(n)
+        else:
+            assert n % a == 0, (n, a)
+            self.a, self.b = a, n // a
+        assert max(self.a, self.b) <= conv_cap(spec), \
+            "contraction exceeds the int32 conv accumulator bound"
         self.ops = get_ops(spec)
         p = spec.p
 
         self.w7 = (spec.num_bits + 6) // 7          # digits per element
         # extended reduction radix: need A * p^2 / 2^(7*W7r) < p so one
         # conditional subtract suffices after accumulating A products
-        need_bits = spec.num_bits + (self.a.bit_length() - 1) + 1
+        # (sized for the longer of the two contractions)
+        need_bits = spec.num_bits + (max(self.a, self.b).bit_length() - 1) + 1
         self.w7r = max(self.w7 + 1, (need_bits + 6) // 7)
         r7 = 1 << (7 * self.w7r)
         self.n0inv7 = (-pow(p, -1, r7)) % r7        # -p^-1 mod 2^(7*W7r)
@@ -249,8 +268,8 @@ def _matmul_toep(digits: jnp.ndarray, toep: np.ndarray) -> jnp.ndarray:
 class MxuNtt:
     """Drop-in MXU NTT (same semantics as BatchedNtt: fft_io ordering)."""
 
-    def __init__(self, spec: FieldSpec, n: int):
-        self.plan = MxuNttPlan(spec, n)
+    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None):
+        self.plan = MxuNttPlan(spec, n, a)
         self.ops = self.plan.ops
         # the big tables travel as jit ARGUMENTS (device-resident), not
         # closed-over constants: closure constants are re-lowered per process

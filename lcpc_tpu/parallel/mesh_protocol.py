@@ -287,7 +287,7 @@ def sharded_prove(comm: ShardedCommit, outer_tensor: list[int],
             jax.device_get(_collapse_fn(enc, mesh)(ts_sh, comm.coeffs))
         )
 
-    def open_columns_fn(cols: list[int]) -> list[LcColumn]:
+    def open_columns_fn(cols: list[int]) -> protocol.BatchedColumns:
         col_idx = jnp.asarray(np.asarray(cols, dtype=np.int32))
         path_idx = protocol.path_node_indices(comm.n_cols, cols)  # (k, L)
         uniq, inv = np.unique(path_idx.reshape(-1), return_inverse=True)

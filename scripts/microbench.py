@@ -70,15 +70,9 @@ def main():
         if lgl >= args.stream_from:
             from lcpc_tpu.core import streaming
 
-            n_rows, _, n_cols = enc.get_dims(n)
-            # bound the encode's HBM temporaries (digit planes scale with
-            # rows*n_cols); keep blocks 256-word aligned for the hasher
-            align = 256 // (spec.w16 // 2)
-            rb = max(align, min(n_rows, (1 << 32) // max(1, 200 * n_cols)))
-            rb = max(align, (rb // align) * align)
-
             def do_commit():
-                return streaming.commit_streaming(coeffs, enc, row_block=rb)
+                # row block auto-sized from the HBM budget (streaming.py)
+                return streaming.commit_streaming(coeffs, enc)
         else:
 
             def do_commit():
@@ -109,15 +103,23 @@ def main():
                 )
                 return tr
 
+            # median-of-3 (single-shot lines let one retrace/compile
+            # contaminate the corpus — a 6x verify outlier at 2^17 did)
             pf = com.prove(outer, preamble())  # warm-up
-            t0 = time.time()
-            pf = com.prove(outer, preamble())
-            prove_ns = int((time.time() - t0) * 1e9)
+            p_times = []
+            for _ in range(3):
+                t0 = time.time()
+                pf = com.prove(outer, preamble())
+                p_times.append(time.time() - t0)
+            prove_ns = int(sorted(p_times)[1] * 1e9)
             blob = wire.serialize_proof(spec, pf)
             pf.verify(com.get_root(), outer, inner, enc, preamble())  # warm
-            t0 = time.time()
-            pf.verify(com.get_root(), outer, inner, enc, preamble())
-            verify_ns = int((time.time() - t0) * 1e9)
+            v_times = []
+            for _ in range(3):
+                t0 = time.time()
+                pf.verify(com.get_root(), outer, inner, enc, preamble())
+                v_times.append(time.time() - t0)
+            verify_ns = int(sorted(v_times)[1] * 1e9)
             print(f"{lgl}: {prove_ns} {verify_ns} {len(blob)}", flush=True)
 
 

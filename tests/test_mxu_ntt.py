@@ -28,30 +28,60 @@ def test_mxu_matches_vpu(spec, n):
 
 
 def test_mxu_plan_bounds():
-    # the extended radix must guarantee a single conditional subtract
-    from lcpc_tpu.ops.mxu_ntt import MxuNttPlan
+    # the extended radix must guarantee a single conditional subtract,
+    # including at the lifted A=2048 contraction length (ft255 n<=2^22)
+    from lcpc_tpu.ops.mxu_ntt import MxuNttPlan, conv_cap
 
-    for spec, n in [(FT63, 1024), (FT255, 65536)]:
-        plan = MxuNttPlan(spec, n)
+    # (4096, a=2048) exercises the same extended radix as the balanced
+    # n=2^22 split (w7r is sized by max(a, b)) without its table build cost
+    for spec, n, a in [(FT63, 1024, None), (FT255, 65536, None),
+                       (FT255, 4096, 2048)]:
+        plan = MxuNttPlan(spec, n, a)
         r7 = 1 << (7 * plan.w7r)
-        assert plan.a * spec.p * spec.p // r7 < spec.p
+        amax = max(plan.a, plan.b)
+        assert amax * spec.p * spec.p // r7 < spec.p
         assert plan.a * plan.b == n
+        # int32 conv accumulator headroom at the longest contraction
+        assert amax * plan.w7 * 127 * 127 < (1 << 31)
+        assert amax <= conv_cap(spec)
+
+
+def test_mxu_a2048_matches_vpu():
+    # A=2048 exceeds the old 1024 cap: exercise the lifted contraction and
+    # its wider reduction radix via an explicit unbalanced split (the
+    # balanced equivalent, n=2^22, is too large for a CPU test).  ft63 only:
+    # the conv cost scales with taps^2 and ft255's A=2048 case is ~4.5e13
+    # int8 MACs on CPU — its on-chip equivalence is checked by
+    # scripts/check_mxu_chip.py instead.
+    from lcpc_tpu.ops.mxu_ntt import MxuNtt
+
+    rng = random.Random(9)
+    spec, n = FT63, 4096
+    ops = get_ops(spec)
+    mats = [[rng.randrange(spec.p) for _ in range(n)] for _ in range(2)]
+    x = np.stack([ops.encode_host(r) for r in mats], axis=1)
+    ref = get_ntt(spec, n)(np.asarray(x))
+    got = MxuNtt(spec, n, a=2048)(np.asarray(x))
+    assert ops.decode_host(got) == ops.decode_host(ref)
 
 
 def test_pick_ntt_falls_back_beyond_mxu_cap():
-    # n > 2^20 exceeds the single-level contraction cap (A > 1024); the
-    # encoding must pick the VPU ladder instead of crashing (VERDICT #9)
+    # n beyond the int8-conv contraction cap (2^22 for ft255) must fall
+    # back to the VPU ladder instead of crashing (VERDICT r1 #9, r2 #5)
     from lcpc_tpu.ops.mxu_ntt import mxu_supported
     from lcpc_tpu.encodings.ligero import _pick_ntt
     from lcpc_tpu.ops.ntt import BatchedNtt
     from lcpc_tpu.fields import FT255
 
-    assert mxu_supported(1 << 20)
-    assert not mxu_supported(1 << 21)
+    assert mxu_supported(FT255, 1 << 20)
+    assert mxu_supported(FT255, 1 << 22)   # lifted cap (VERDICT r2 #5)
+    assert not mxu_supported(FT255, 1 << 23)
+    assert mxu_supported(FT63, 1 << 26)
+    assert not mxu_supported(FT63, 1 << 27)
     import os
     old = os.environ.pop("LCPC_MXU_NTT", None)
     try:
-        ntt = _pick_ntt(FT255, 1 << 21)
+        ntt = _pick_ntt(FT255, 1 << 23)
         assert isinstance(ntt, BatchedNtt)
     finally:
         if old is not None:
