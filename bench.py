@@ -7,7 +7,10 @@ vs_baseline compares against the reference's 64-core CPU numbers from
 BASELINE.md (rough_bench commit times, 20210807_64c_255bit_ligero_dfl.txt);
 values > 1 mean the TPU build is faster.  Details go to stderr.
 
-Config via env: LCPC_BENCH_LOGN (default 21), LCPC_BENCH_FIELD (ft255).
+Config via env: LCPC_BENCH_LOGN (default 25), LCPC_BENCH_FIELD (ft255),
+LCPC_BENCH_STREAM_FROM (default 23: sizes >= this use the streaming commit —
+the 2^25 ft255 codeword alone is ~10 GB, past what the plain path's
+temporaries allow on a 16 GB chip).
 """
 
 import json
@@ -21,6 +24,9 @@ import numpy as np
 # reference 64-core commit times (seconds) for Ligero rho=1/4 ft255
 BASELINE_64C = {13: 0.0149, 15: 0.0314, 17: 0.0949, 19: 0.245, 21: 0.646,
                 23: 1.92, 25: 5.73, 27: 21.6, 29: 94.6}
+# reference 64-core prove/verify (seconds), same files (_pvs)
+BASELINE_PVS = {21: (0.0187, 0.0273), 23: (0.0735, 0.0447),
+                25: (0.140, 0.0752), 27: (0.421, 0.136)}
 
 
 def log(msg):
@@ -32,43 +38,56 @@ def main():
 
     enable_compilation_cache()
     import jax
+    import jax.numpy as jnp
 
     from lcpc_tpu.fields import FIELDS_BY_NAME
     from lcpc_tpu.encodings.ligero import LigeroEncoding
-    from lcpc_tpu.core import protocol
+    from lcpc_tpu.core import protocol, streaming
     from lcpc_tpu.ops.limbs import get_ops
 
+    # default flips to 25 once the 2^25 streaming path is validated on-chip
     logn = int(os.environ.get("LCPC_BENCH_LOGN", "21"))
     field = os.environ.get("LCPC_BENCH_FIELD", "ft255")
+    stream_from = int(os.environ.get("LCPC_BENCH_STREAM_FROM", "23"))
     spec = FIELDS_BY_NAME[field]
     ops = get_ops(spec)
     n = 1 << logn
 
     dev = jax.devices()[0]
-    log(f"device: {dev}; field={field}; N=2^{logn}; rho=1/4")
+    use_streaming = logn >= stream_from
+    log(f"device: {dev}; field={field}; N=2^{logn}; rho=1/4; "
+        f"path={'streaming' if use_streaming else 'plain'}")
 
     enc = LigeroEncoding.new(spec, n, rho_num=1, rho_den=4)
     n_rows, n_per_row, n_cols = enc.get_dims(n)
     log(f"dims: {n_rows} x {n_per_row} -> {n_cols}")
 
-    # random coefficients generated directly on device: random 16-bit limbs
-    # reduced into the field by to_mont (distribution irrelevant for timing)
-    rng = np.random.default_rng(0)
-    raw = rng.integers(0, 1 << 16, (ops.w, n), dtype=np.uint32)
-    coeffs = ops.to_mont(jax.device_put(raw))
+    # random coefficients generated ON DEVICE: random 16-bit limbs reduced
+    # into the field by to_mont (distribution irrelevant for timing; a host
+    # upload at 2^25 is ~2.4 GB through the tunnel)
+    key = jax.random.PRNGKey(0)
+    raw = jax.random.bits(key, (ops.w, n), dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+    coeffs = ops.to_mont(raw)
     jax.block_until_ready(coeffs)
+
+    if use_streaming:
+        def do_commit():
+            return streaming.commit_streaming(coeffs, enc)
+    else:
+        def do_commit():
+            return protocol.commit(coeffs, enc)
 
     # warm up compiles
     t0 = time.time()
-    comm = protocol.commit(coeffs, enc)
-    jax.block_until_ready(comm.comm)
+    comm = do_commit()
+    _ = comm.get_root()
     log(f"commit compile+1st: {time.time() - t0:.2f}s")
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        comm = protocol.commit(coeffs, enc)
-        _ = comm.get_root()  # includes the host transfer of the hash layers
+        comm = do_commit()
+        _ = comm.get_root()  # includes the host transfer of the root
         times.append(time.time() - t0)
     commit_s = sorted(times)[1]
     log(f"commit times: {[f'{t:.3f}' for t in times]} -> median {commit_s:.3f}s")
@@ -85,15 +104,15 @@ def main():
         tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
         return comm.prove(outer, tr)
 
+    base_pvs = BASELINE_PVS.get(logn)
     t0 = time.time()
     pf = run_prove()
     log(f"prove compile+1st: {time.time() - t0:.3f}s")
     t0 = time.time()
     pf = run_prove()
     prove_s = time.time() - t0
-    log(f"prove warm: {prove_s:.3f}s (baseline 64c 2^21: 0.0187s)")
-
-    from lcpc_tpu.core import protocol as _protocol
+    log(f"prove warm: {prove_s:.3f}s"
+        + (f" (baseline 64c 2^{logn}: {base_pvs[0]}s)" if base_pvs else ""))
 
     inner = [pow(x, i, spec.p) for i in range(n_per_row)]
     root = comm.get_root()
@@ -102,16 +121,16 @@ def main():
         tr = Transcript(b"test transcript")
         tr.append_message(b"polycommit", root)
         tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
-        return _protocol.verify(root, outer, inner, proof, enc, tr)
+        return protocol.verify(root, outer, inner, proof, enc, tr)
 
     t0 = time.time()
     run_verify(pf)
     log(f"verify compile+1st: {time.time() - t0:.3f}s")
-    pf = run_prove()  # fresh rows-backed proof (ints untouched)
     t0 = time.time()
     run_verify(pf)
     verify_s = time.time() - t0
-    log(f"verify warm: {verify_s:.3f}s (baseline 64c 2^21: 0.0273s)")
+    log(f"verify warm: {verify_s:.3f}s"
+        + (f" (baseline 64c 2^{logn}: {base_pvs[1]}s)" if base_pvs else ""))
 
     from lcpc_tpu.core import wire
 

@@ -59,6 +59,17 @@ class LcEncoding(abc.ABC):
         Input/output in Montgomery limb form (limb-major).
         """
 
+    def encode_rows_lowmem(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """encode_rows variant preferring minimal HBM transients.
+
+        The streaming commit encodes by row blocks precisely because memory
+        is the constraint there; encodings whose fastest kernel trades HBM
+        for throughput (the MXU digit-conv NTT holds ~600 B/element of digit
+        planes vs the VPU ladder's ~250 B) override this with the lean path.
+        Results must be bit-identical to encode_rows.
+        """
+        return self.encode_rows(rows)
+
     @abc.abstractmethod
     def encode_row_host(self, row: list[int]) -> list[int]:
         """Slow twin of encode_rows on one row of canonical Python ints."""

@@ -128,12 +128,25 @@ _encode_pack_cache = weakref.WeakKeyDictionary()
 _encode_gather_cache = weakref.WeakKeyDictionary()
 
 
+def _prepare_encode_constants(enc: LcEncoding) -> None:
+    """Materialize the encoding's device constants OUTSIDE any jit trace
+    (lazily-built twiddle tables / expander matrices would otherwise leak
+    tracers into the cache)."""
+    if hasattr(enc, "_device_mats"):
+        enc._device_mats()
+    if hasattr(enc, "_lowmem_ntt"):
+        enc._lowmem_ntt()
+
+
 def _encode_pack_fn(enc: LcEncoding):
     fn = _encode_pack_cache.get(enc)
     if fn is None:
         ops = get_ops(enc.spec)
+        _prepare_encode_constants(enc)
         fn = jax.jit(
-            lambda block: _pack_words(ops, ops.from_mont(enc.encode_rows(block)))
+            lambda block: _pack_words(
+                ops, ops.from_mont(enc.encode_rows_lowmem(block))
+            )
         )
         _encode_pack_cache[enc] = fn
     return fn
@@ -142,12 +155,38 @@ def _encode_pack_fn(enc: LcEncoding):
 def _encode_gather_fn(enc: LcEncoding):
     fn = _encode_gather_cache.get(enc)
     if fn is None:
+        _prepare_encode_constants(enc)
+
         def gather(block, idx):
-            g = jnp.take(enc.encode_rows(block), idx, axis=2)  # (W, rb, k)
+            g = jnp.take(enc.encode_rows_lowmem(block), idx, axis=2)
             return g[0::2] | (g[1::2] << jnp.uint32(16))  # packed words
         fn = jax.jit(gather)
         _encode_gather_cache[enc] = fn
     return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _gather_canon_fn(ops):
+    """Jitted: opened columns out of the retained canonical word buffer.
+
+    Gathers the column words, unpacks to canonical limbs, converts to
+    Montgomery form (the proof wire form, lib.rs:401-408) and repacks, plus
+    the unique Merkle path digests — one dispatch, one pull."""
+    wpe = ops.w // 2
+
+    def g(words, hashes_dev, idx, path_uniq):
+        cols = jnp.take(words, idx, axis=1)              # (R*wpe, k)
+        k = cols.shape[1]
+        c = cols.reshape(-1, wpe, k)                     # (R, wpe, k)
+        lo = c & jnp.uint32(0xFFFF)
+        hi = c >> jnp.uint32(16)
+        canon = jnp.stack([lo, hi], axis=2).reshape(c.shape[0], 2 * wpe, k)
+        mont = ops.to_mont(jnp.transpose(canon, (1, 0, 2)))  # (W, R, k)
+        packed = mont[0::2] | (mont[1::2] << jnp.uint32(16))
+        path_digs = jnp.take(hashes_dev, path_uniq, axis=1)
+        return packed, path_digs
+
+    return jax.jit(g)
 
 
 class StreamingColumnHasher:
@@ -307,8 +346,13 @@ _STREAM_HASHERS = {
 
 @dataclasses.dataclass
 class LcCommitStreaming:
-    """Commit state without the codeword matrix (re-encoded on demand).
+    """Commit state without the Montgomery codeword matrix.
 
+    When the packed CANONICAL codeword fits the HBM budget it is retained
+    (words_dev, (n_rows*W/2, n_cols) u32 — half the bytes of the Montgomery
+    limb form), so prove gathers opened columns directly; otherwise prove
+    re-encodes the coefficient blocks on demand (the trade the reference
+    never faces: its LcCommit always holds the codeword, lib.rs:173-184).
     Like LcCommit, the Merkle array stays on device as digest words; the
     byte view (serialization) materializes lazily.
     """
@@ -321,6 +365,7 @@ class LcCommitStreaming:
     hashes_dev: jnp.ndarray  # (8, 2*np2-1) u32 digest words, leaves first
     row_block: int
     digest: DeviceDigest = BLAKE3
+    words_dev: "jnp.ndarray | None" = None  # (n_rows*W/2, n_cols) canonical
     _hashes_np: "np.ndarray | None" = None
     _root: "bytes | None" = None
 
@@ -409,9 +454,24 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
 
     encode_pack = _encode_pack_fn(enc)
 
+    # retain the packed canonical codeword when it fits the budget: prove
+    # then gathers columns in one dispatch instead of re-encoding every
+    # block (at 2^25 ligero the re-encode costs ~a full commit per proof)
+    import os
+
+    keep_budget = int(os.environ.get("LCPC_STREAM_KEEP_BYTES", str(5 << 30)))
+    keep = n_rows * wpe * n_cols * 4 <= keep_budget
+    words_dev = jnp.zeros((n_rows * wpe, n_cols), jnp.uint32) if keep else None
+    write = jax.jit(
+        lambda buf, w, i: jax.lax.dynamic_update_slice(buf, w, (i, 0)),
+        donate_argnums=0,
+    )
+
     for r0 in range(0, n_rows, rb):
         r1 = min(r0 + rb, n_rows)
         words = encode_pack(mat[:, r0:r1, :])
+        if keep:
+            words_dev = write(words_dev, words, r0 * wpe)
         hasher.update(words)
 
     leaves = hasher.finalize()  # (8, n_cols)
@@ -427,6 +487,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     return LcCommitStreaming(
         enc=enc, coeffs=mat, n_rows=n_rows, n_per_row=n_per_row,
         n_cols=n_cols, hashes_dev=flat, row_block=rb, digest=digest,
+        words_dev=words_dev,
     )
 
 
@@ -466,19 +527,27 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         comm.n_cols, ChaCha20Rng(key), enc.get_n_col_opens()
     )
 
-    # re-encode by blocks, gathering only the opened columns (packed words
-    # on the link); the Merkle path nodes gather from the device hash array
+    # gather the opened columns: from the retained canonical codeword in one
+    # dispatch when available, else by re-encoding coefficient blocks; the
+    # Merkle path nodes gather from the device hash array either way
     idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
     path_idx = protocol.path_node_indices(comm.n_cols, cols_to_open)
     uniq, inv = np.unique(path_idx.reshape(-1), return_inverse=True)
-    path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
-    gather = _encode_gather_fn(enc)
-    pieces = []
-    rb = comm.row_block
-    for r0 in range(0, comm.n_rows, rb):
-        r1 = min(r0 + rb, comm.n_rows)
-        pieces.append(np.asarray(gather(comm.coeffs[:, r0:r1, :], idx)))
-    col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k) packed words
+    if comm.words_dev is not None:
+        col_w_dev, path_digs = _gather_canon_fn(ops)(
+            comm.words_dev, comm.hashes_dev, idx,
+            jnp.asarray(uniq.astype(np.int32)),
+        )
+        col_w = np.asarray(col_w_dev)
+    else:
+        path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
+        gather = _encode_gather_fn(enc)
+        pieces = []
+        rb = comm.row_block
+        for r0 in range(0, comm.n_rows, rb):
+            r1 = min(r0 + rb, comm.n_rows)
+            pieces.append(np.asarray(gather(comm.coeffs[:, r0:r1, :], idx)))
+        col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k) packed
 
     return LcEvalProof(
         n_cols=comm.n_cols, p_eval_rows=eval_rows, p_random_rows=p_random_rows,

@@ -173,6 +173,29 @@ class LigeroEncoding(LcEncoding):
         padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
         return self._ntt(padded)
 
+    def _lowmem_ntt(self):
+        """VPU ladder, constructed EAGERLY (device twiddle constants must
+        materialize outside any enclosing jit trace — see _device_mats)."""
+        if not hasattr(self, "_ntt_vpu"):
+            from ..ops.ntt import BatchedNtt
+
+            self._ntt_vpu = (
+                self._ntt if isinstance(self._ntt, BatchedNtt)
+                else get_ntt(self.spec, self.n_cols)
+            )
+        return self._ntt_vpu
+
+    def encode_rows_lowmem(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """VPU-ladder encode for the streaming path: the MXU digit-conv NTT
+        amplifies HBM ~3x (int32 digit planes + an XLA layout copy), which
+        is exactly what row-blocked streaming cannot afford; the ladder is
+        bit-identical (twin-tested) at ~250 B/element of transients."""
+        ntt = self._lowmem_ntt()
+        w, r, npr = rows.shape
+        assert npr == self.n_per_row and w == self.ops.w
+        padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
+        return ntt(padded)
+
     def encode_row_host(self, row: list[int]) -> list[int]:
         assert len(row) <= self.n_cols
         padded = list(row) + [0] * (self.n_cols - len(row))

@@ -120,6 +120,71 @@ def _commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int,
     return per_enc[key]
 
 
+def _commit_fn_wide(enc: LcEncoding, mesh: Mesh, n_rows: int,
+                    digest: DeviceDigest):
+    per_enc = _commit_fn_cache.setdefault(enc, {})
+    key = ("wide", mesh, n_rows, digest.name)
+    if key not in per_enc:
+        per_enc[key] = _build_commit_fn_wide(enc, mesh, n_rows, digest)
+    return per_enc[key]
+
+
+def _wide_split(n_cols: int) -> tuple[int, int]:
+    """The DistNtt A*B factorization of a power-of-two codeword width."""
+    log = n_cols.bit_length() - 1
+    a = 1 << (log // 2 + log % 2)
+    return a, n_cols // a
+
+
+def _build_commit_fn_wide(enc: LcEncoding, mesh: Mesh, n_rows: int,
+                          digest: DeviceDigest):
+    """Wide-row commit: ONE ROW'S transform sharded across the mesh.
+
+    The intra-row regime (SURVEY.md §2.2 "sequence parallel" analogue; the
+    reference's 2-adicity-capped wide rows, lcpc-ligero-pc/src/lib.rs:79-83):
+    every device holds ALL rows but only a B-slice of each, the DistNtt
+    4-step runs the length-n_cols transform with one all_to_all, and its
+    A-sharded output IS a contiguous column sharding — so column hashing is
+    local with no reshard, and the Merkle top builds replicated exactly as
+    the row-parallel path does.  Output hashes are byte-identical to the
+    serial merkleize (DistNtt is bit-exact vs the serial ladder).
+    """
+    from .dist_ntt import DistNtt
+
+    ops = get_ops(enc.spec)
+    axis = mesh.axis_names[0]
+    nc = enc.n_cols
+    assert nc & (nc - 1) == 0, "wide path requires a power-of-two codeword"
+    dn = DistNtt(enc.spec, nc, mesh, axis=axis)
+
+    def hash_local(y_local):
+        # y_local: (W, R, A/n_dev, B) — a contiguous slice of the codeword
+        w = y_local.shape[0]
+        flat = y_local.reshape(w, n_rows, -1)
+        canon = ops.from_mont(flat)
+        words = _pack_words(ops, canon)
+        leaves_local = digest.hash_word_columns(words)
+        leaves = jax.lax.all_gather(leaves_local, axis, axis=1, tiled=True)
+        layers = [leaves]  # nc is a power of two: no pad leaves
+        while layers[-1].shape[1] > 1:
+            layers.append(digest.merkle_layer(layers[-1]))
+        return jnp.concatenate(layers, axis=1)  # (8, 2*nc-1)
+
+    hash_fn = jax.jit(jax.shard_map(
+        hash_local, mesh=mesh,
+        in_specs=P(None, None, axis, None), out_specs=P(),
+        check_vma=False,
+    ))
+
+    def commit(x_bsharded):
+        y = dn(x_bsharded)  # (W, R, A, B), A-sharded
+        flat_hashes = hash_fn(y)
+        comm_flat = y.reshape(y.shape[0], n_rows, nc)  # fft_io flat layout
+        return flat_hashes, comm_flat
+
+    return commit, dn
+
+
 def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int,
                      digest: DeviceDigest):
     """Jitted sharded commit: coeffs (W, Rp, np) row-sharded ->
@@ -170,7 +235,8 @@ def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int,
 
 
 def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh,
-                   digest: DeviceDigest = BLAKE3) -> ShardedCommit:
+                   digest: DeviceDigest = BLAKE3,
+                   strategy: str = "auto") -> ShardedCommit:
     """Commit over the mesh; `hashes` is byte-identical to protocol.commit.
 
     `coeffs` is a list of canonical ints or a (W, N) uint32 Montgomery limb
@@ -178,6 +244,12 @@ def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh,
     stays on device: padding/reshape run there and device_put reshards it
     onto the mesh directly (at 2^26 a host round trip would push ~2 GB
     through the host link; already-placed arrays must never leave device).
+
+    `strategy`: "rows" shards the independent row encodes (the default
+    regime); "wide" shards each row's transform across the mesh via the
+    distributed 4-step NTT (the few-rows/wide-columns regime — the
+    reference's 2-adicity-capped shape); "auto" picks "wide" when the mesh
+    has more devices than there are rows and the encoding supports it.
     """
     ops = get_ops(enc.spec)
     if isinstance(coeffs, list):
@@ -195,17 +267,46 @@ def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh,
     assert enc.dims_ok(n_per_row, n_cols)
     n_dev = mesh.devices.size
     n_rows_pad = _round_up(n_rows, n_dev)
+    axis = mesh.axis_names[0]
+
+    wide = False
+    if strategy in ("auto", "wide"):
+        from ..encodings.ligero import LigeroEncoding
+
+        a, b = _wide_split(n_cols)
+        ntt_ok = (
+            isinstance(enc, LigeroEncoding)
+            and n_cols & (n_cols - 1) == 0
+            and a % n_dev == 0 and b % n_dev == 0
+        )
+        if strategy == "wide":
+            assert ntt_ok, "wide strategy needs an NTT encoding with A, B " \
+                           "each divisible by the mesh"
+            wide = True
+        else:
+            wide = ntt_ok and n_rows < n_dev
 
     pad = n_rows_pad * n_per_row - length
     if pad:
         arr = jnp.pad(arr, [(0, 0), (0, pad)])
     mat = arr.reshape(ops.w, n_rows_pad, n_per_row)
-    axis = mesh.axis_names[0]
+    # coeffs stay row-sharded either way: the collapse (prove) partials are
+    # row-local and pad rows contribute zero
     coeffs_sh = jax.device_put(mat, NamedSharding(mesh, P(None, axis, None)))
 
-    flat, comm_cols = _commit_fn(enc, mesh, n_rows, n_rows_pad, digest)(
-        coeffs_sh
-    )
+    if wide:
+        a, b = _wide_split(n_cols)
+        x = jnp.pad(mat[:, :n_rows, :], [(0, 0), (0, 0),
+                                         (0, n_cols - n_per_row)])
+        x = x.reshape(ops.w, n_rows, a, b)
+        x_sh = jax.device_put(
+            x, NamedSharding(mesh, P(None, None, None, axis))
+        )
+        flat, comm_cols = _commit_fn_wide(enc, mesh, n_rows, digest)[0](x_sh)
+    else:
+        flat, comm_cols = _commit_fn(enc, mesh, n_rows, n_rows_pad, digest)(
+            coeffs_sh
+        )
 
     return ShardedCommit(
         enc=enc, mesh=mesh, coeffs=coeffs_sh, comm_cols=comm_cols,

@@ -32,20 +32,36 @@ def main():
     spec = FT255
     ops = get_ops(spec)
     rng = np.random.default_rng(0)
-    for logn in (21, 22):
+    sizes = [int(s) for s in
+             os.environ.get("LCPC_MXU_CHECK_SIZES", "21,22").split(",")]
+
+    def log(m):
+        print(f"[{time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+    for logn in sizes:
         n = 1 << logn
         raw = rng.integers(0, 1 << 16, (ops.w, 2, n), dtype=np.uint32)
         x = ops.to_mont(jax.device_put(raw))
         jax.block_until_ready(x)
+        log(f"2^{logn}: input ready")
 
         t0 = time.time()
-        ref = get_ntt(spec, n)(x)
+        vpu = get_ntt(spec, n)
+        log(f"2^{logn}: vpu plan built ({time.time()-t0:.1f}s)")
+        ref = vpu(x)
+        jax.block_until_ready(ref)
+        log(f"2^{logn}: vpu compile+run ({time.time()-t0:.1f}s)")
+        t0 = time.time()
+        ref = vpu(x)
         jax.block_until_ready(ref)
         t_vpu = time.time() - t0
 
+        t0 = time.time()
         mxu = get_mxu_ntt(spec, n)
+        log(f"2^{logn}: mxu tables built ({time.time()-t0:.1f}s)")
         got = mxu(x)  # compile
         jax.block_until_ready(got)
+        log(f"2^{logn}: mxu compile+run ({time.time()-t0:.1f}s)")
         t0 = time.time()
         got = mxu(x)
         jax.block_until_ready(got)

@@ -40,6 +40,7 @@ def main():
 
     enable_compilation_cache()
     import jax
+    import jax.numpy as jnp
 
     from lcpc_tpu.fields import FIELDS_BY_NAME
     from lcpc_tpu.encodings.ligero import LigeroEncoding
@@ -58,9 +59,14 @@ def main():
 
     for lgl in range(args.min, args.max + 1, args.step):
         n = 1 << lgl
-        rng = np.random.default_rng(args.seed)
-        raw = rng.integers(0, 1 << 16, (ops.w, n), dtype=np.uint32)
-        coeffs = ops.to_mont(jax.device_put(raw))
+        # random coefficients generated ON DEVICE (random 16-bit limbs
+        # reduced by to_mont; distribution irrelevant for timing) — a host
+        # upload at 2^25 is ~2.4 GB through the tunnel
+        key = jax.random.PRNGKey(args.seed)
+        raw = jax.random.bits(key, (ops.w, n), dtype=jnp.uint32) & jnp.uint32(
+            0xFFFF
+        )
+        coeffs = ops.to_mont(raw)
         jax.block_until_ready(coeffs)
         if args.enc == "ligero":
             enc = LigeroEncoding.new(spec, n, rho_num=rn, rho_den=rd)

@@ -116,3 +116,54 @@ def test_sharded_sha256_and_device_resident_coeffs():
 
     assert np.array_equal(sharded.hashes, serial.hashes)
     assert sharded.get_root() == serial.get_root()
+
+
+def test_sharded_wide_rows_e2e():
+    """Few-rows/wide-columns regime: the intra-row DistNtt commit path
+    (strategy auto-selects it when n_rows < n_devices), byte-identical
+    hashes and proofs (VERDICT r2 item 4)."""
+    spec = FT63
+    enc = LigeroEncoding.new_from_dims(spec, 128, 256)  # A=16, B=16 over 8
+    length = 128 * 4  # 4 rows < 8 devices -> wide path
+    rng = random.Random(505)
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+    mesh = mesh_protocol.make_mesh(jax.devices()[:8])
+
+    # auto must pick wide here; also pin the explicit strategy
+    for strategy in ("auto", "wide"):
+        serial = protocol.commit(coeffs, enc)
+        sharded = mesh_protocol.sharded_commit(
+            coeffs, enc, mesh, strategy=strategy
+        )
+        assert np.array_equal(sharded.hashes, serial.hashes)
+
+        x = rng.randrange(spec.p)
+        inner, outer = _tensors_for_eval(
+            spec, x, serial.n_per_row, serial.n_rows
+        )
+        pf_serial = serial.prove(outer, _preamble(enc, serial.get_root()))
+        pf_sharded = sharded.prove(outer, _preamble(enc, sharded.get_root()))
+        assert wire.serialize_proof(spec, pf_serial) == wire.serialize_proof(
+            spec, pf_sharded
+        )
+        got = protocol.verify(
+            sharded.get_root(), outer, inner, pf_sharded, enc,
+            _preamble(enc, sharded.get_root()),
+        )
+        want = 0
+        for c in reversed(coeffs):
+            want = (want * x + c) % spec.p
+        assert got == want
+
+
+def test_sharded_wide_many_rows_forced():
+    # explicit strategy="wide" with more rows than devices still matches
+    spec = FT63
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)  # A=16, B=8 over 8
+    length = 64 * 20
+    rng = random.Random(606)
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+    mesh = mesh_protocol.make_mesh(jax.devices()[:8])
+    serial = protocol.commit(coeffs, enc)
+    sharded = mesh_protocol.sharded_commit(coeffs, enc, mesh, strategy="wide")
+    assert np.array_equal(sharded.hashes, serial.hashes)

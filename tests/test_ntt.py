@@ -163,3 +163,35 @@ def test_fft_consistency_identity():
     )
     eval3 = sum(c * r for c, r in zip(poly[: comm.n_per_row], inner)) % spec.p
     assert eval2 == eval3
+
+
+def test_fft_io_fixed_vectors():
+    """Committed constants pinning the full convention chain: generator ->
+    ROOT_OF_UNITY = g^t_odd -> w_n = ROOT^(2^(s-log n)) -> out[rev(k)] =
+    sum_j x_j w_n^(jk) (fffft's documented fft_io contract: in-order input,
+    "out-of-order" bit-reversed output, forward root).  A regression in any
+    link (root derivation, reversal, stage order) breaks these exact values.
+    """
+    assert FT63.root_of_unity == 4256681863234029612
+    assert FT63.s == 41 and FT63.t_odd == 2320443
+    got = ntt_host(FT63, list(range(1, 17)))
+    assert got == [
+        136, 5102708120182849529, 2880931767225701037, 2221776352957148484,
+        2430371459602828169, 3331492074848573905, 1771216045334275616,
+        2672336660580021352, 3124238125812841050, 1736504793392815288,
+        1770817141808650094, 4892167007888497716, 210541112294351805,
+        3331890978374199427, 3366203326790034233, 1978469994370008471,
+    ]
+
+    assert FT255.root_of_unity == 0x5425e2a66fd9cbf775273db316b7e0c89a2e5ce2899cbfc2748b4ceb2108eb11
+    got = ntt_host(FT255, list(range(1, 9)))
+    assert got == [
+        0x24,
+        0x663c799b6e4d2900fda9df04b9575969ef73c79086595f3002a4f1fffffffffd,
+        0x249de590a68a80f70186ead732f51337de45943ab5d813646a16630ba830d2b0,
+        0x419e940ac7c2a809fc22f42d86624632112e3355d0814bcb988e8ef457cf2d49,
+        0x66373e0b48b580f3ad6c466661ddb1ac7b896558b34512c8697a7b554f766e1d,
+        0x494106b172aca9fb534b6e4cbd63ce2d30758aad3ec473306d573cc200eb3744,
+        0x1cfb72e9fba07f05aa5e70b7fbf38b3cbefe3ce34794ebff954db53dff14c8b5,
+        0x53b902597a80d503d989e5779a7bd73ea6237d3144c67992a76aab08991dc,
+    ]

@@ -19,8 +19,9 @@ def _preamble(enc, root):
     return tr
 
 
-@pytest.mark.parametrize("row_block", [128, 256])
-def test_streaming_matches_inmemory(row_block):
+@pytest.mark.parametrize("row_block,keep", [(128, True), (256, True),
+                                            (128, False)])
+def test_streaming_matches_inmemory(row_block, keep, monkeypatch):
     spec = FT63
     rng = random.Random(77)
     # enough rows that several blocks and chunk-buffer carries occur:
@@ -29,8 +30,12 @@ def test_streaming_matches_inmemory(row_block):
     length = 64 * 700 - 13
     coeffs = [rng.randrange(spec.p) for _ in range(length)]
 
+    if not keep:
+        # force the no-retained-codeword path: prove re-encodes blocks
+        monkeypatch.setenv("LCPC_STREAM_KEEP_BYTES", "0")
     mem = protocol.commit(coeffs, enc)
     stream = streaming.commit_streaming(coeffs, enc, row_block=row_block)
+    assert (stream.words_dev is not None) == keep
 
     assert stream.get_root() == mem.get_root()
     assert np.array_equal(stream.hashes, mem.hashes)
