@@ -17,7 +17,9 @@ import random
 import pytest
 
 from lcpc_tpu.core import protocol
-from lcpc_tpu.encodings.brakedown import CODE1, CODE6, SdigEncoding
+from lcpc_tpu.encodings.brakedown import (
+    CODE1, CODE2, CODE4, CODE5, CODE6, SdigEncoding,
+)
 from lcpc_tpu.encodings.ligero import LigeroEncoding
 from lcpc_tpu.fields import FT63, FT127, FT191
 from lcpc_tpu.fs.merlin import Transcript
@@ -81,6 +83,28 @@ def test_codespec_extremes_e2e(code, n_opens):
         for lvl in m:
             assert lvl.n_out >= 1 and lvl.n_in >= 1
     _uni_e2e(spec, enc, length, seed=3001)
+
+
+@pytest.mark.parametrize("code", [CODE2, CODE4, CODE5],
+                         ids=["code2", "code4", "code5"])
+def test_codespec_middle_rows_encode_twin(code):
+    # the remaining codespec rows (codespec.rs:181-219): cheap device-vs-host
+    # encode equality so a density/dims bug in ANY row is visible, without
+    # paying three more full e2e runs (CODE1/CODE6 cover the e2e extremes)
+    import numpy as np
+
+    from lcpc_tpu.ops.limbs import get_ops
+
+    spec = FT63
+    enc = SdigEncoding.new(spec, 700, seed=0, code=code)
+    ops = get_ops(spec)
+    rng = random.Random(code.an * 1000 + code.bn)
+    rows = [[rng.randrange(spec.p) for _ in range(enc.n_per_row)]
+            for _ in range(2)]
+    x = np.stack([ops.encode_host(r) for r in rows], axis=1)
+    got = enc.encode_rows(np.asarray(x))
+    for r, row in enumerate(rows):
+        assert ops.decode_host(got[:, r, :]) == enc.encode_row_host(row), r
 
 
 def test_high_rate_ligero_e2e():
