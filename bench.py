@@ -85,6 +85,7 @@ def main():
 
     times = []
     for _ in range(3):
+        comm = None  # release the previous commit's retained codeword
         t0 = time.time()
         comm = do_commit()
         _ = comm.get_root()  # includes the host transfer of the root

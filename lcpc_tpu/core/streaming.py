@@ -401,23 +401,31 @@ class LcCommitStreaming:
 
 
 def _row_block_for(spec, n_rows: int, n_cols: int,
-                   requested: int | None) -> int:
+                   requested: int | None, resident_bytes: int = 0) -> int:
     """Pick the encode/hash row block.
 
-    Sized from an HBM budget (LCPC_STREAM_BYTES, default 6 GiB): the block's
-    transient footprint is ~3 codeword-block copies for the NTT/SpMV ladder
-    plus the packed word block.  Large blocks are rounded so the per-column
-    word count is 256-aligned (the hasher's carry buffer stays empty — one
-    compiled update); small blocks fall back to a power of two, whose carry
-    length cycles through <= 8 values (a handful of cached traces) — this is
-    what lets 2^25 ft255 codewords (10 GB per 256 rows) stream on a 16 GB
-    chip with 32..128-row blocks.
+    Sized from an HBM budget: the block's transient footprint is ~3
+    codeword-block copies for the NTT/SpMV ladder plus the packed word
+    block.  The budget is min(LCPC_STREAM_BYTES, usable HBM minus the
+    RESIDENT arrays — coefficients, the retained canonical codeword, hasher
+    carry state): at 2^25 ft255 those already hold ~6.5 GB, and sizing
+    blocks from a fixed 6 GiB on top of that OOMs the chip.  Large blocks
+    are rounded so the per-column word count is 256-aligned (the hasher's
+    carry buffer stays empty — one compiled update); small blocks fall back
+    to a power of two, whose carry length cycles through <= 8 values (a
+    handful of cached traces) — this is what lets 2^25 ft255 codewords
+    (10 GB per 256 rows) stream on a 16 GB chip with 32..128-row blocks.
     """
     import os
 
     wpe = spec.w16 // 2
     if requested is None:
         budget = int(os.environ.get("LCPC_STREAM_BYTES", str(6 << 30)))
+        # usable-HBM ceiling, measured on the v5e chip: a 12.4 GB peak OOMs,
+        # an 8.6 GB peak fits (the runtime + framework reserve the rest of
+        # the 16 GB); no memory_stats() on this backend to read it directly
+        hbm = int(os.environ.get("LCPC_HBM_BYTES", str(10 << 30)))
+        budget = max(min(budget, hbm - resident_bytes), 512 << 20)
         per_row = n_cols * (12 * spec.w16 + 4 * wpe) + 1
         requested = max(32, budget // per_row)
     rb = max(1, min(requested, n_rows))
@@ -448,11 +456,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     mat = arr.reshape(ops.w, n_rows, n_per_row)
 
     wpe = enc.spec.w16 // 2
-    rb = _row_block_for(enc.spec, n_rows, n_cols, row_block)
     total_words = 8 + n_rows * wpe
-    hasher = hasher_cls(n_cols, total_words)
-
-    encode_pack = _encode_pack_fn(enc)
 
     # retain the packed canonical codeword when it fits the budget: prove
     # then gathers columns in one dispatch instead of re-encoding every
@@ -460,7 +464,18 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     import os
 
     keep_budget = int(os.environ.get("LCPC_STREAM_KEEP_BYTES", str(5 << 30)))
-    keep = n_rows * wpe * n_cols * 4 <= keep_budget
+    keep_bytes = n_rows * wpe * n_cols * 4
+    keep = keep_bytes <= keep_budget
+
+    # arrays resident for the whole commit, which the block transients must
+    # fit alongside: coefficients, the retained codeword, hasher carry state
+    n_chunks = max(1, (total_words + 255) // 256)
+    resident = (int(arr.nbytes) + (keep_bytes if keep else 0)
+                + (n_chunks + 2) * 8 * n_cols * 4 + 256 * n_cols * 4)
+    rb = _row_block_for(enc.spec, n_rows, n_cols, row_block, resident)
+    hasher = hasher_cls(n_cols, total_words)
+
+    encode_pack = _encode_pack_fn(enc)
     words_dev = jnp.zeros((n_rows * wpe, n_cols), jnp.uint32) if keep else None
     write = jax.jit(
         lambda buf, w, i: jax.lax.dynamic_update_slice(buf, w, (i, 0)),

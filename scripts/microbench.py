@@ -89,6 +89,10 @@ def main():
         _ = com.get_root()
         times = []
         for _ in range(args.iters):
+            # release the previous commit BEFORE the next one: its retained
+            # codeword (~4 GB at 2^25) would otherwise be live alongside the
+            # new commit's, doubling resident HBM and OOMing large sizes
+            com = None
             t0 = time.time()
             com = do_commit()
             _ = com.get_root()
