@@ -135,7 +135,11 @@ def _prepare_encode_constants(enc: LcEncoding) -> None:
     if hasattr(enc, "_device_mats"):
         enc._device_mats()
     if hasattr(enc, "_lowmem_ntt"):
-        enc._lowmem_ntt()
+        # the MXU streaming path's tables are device-resident at MxuNtt
+        # construction; only build the VPU ladder's twiddles if it will run
+        if not (hasattr(enc, "_stream_mxu_ntt")
+                and enc._stream_mxu_ntt() is not None):
+            enc._lowmem_ntt()
 
 
 def _encode_pack_fn(enc: LcEncoding):

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
+import jax
 import jax.numpy as jnp
 
 from ..core.encoding import LcEncoding
@@ -185,16 +186,56 @@ class LigeroEncoding(LcEncoding):
             )
         return self._ntt_vpu
 
+    def _stream_mxu_ntt(self):
+        """The MXU NTT for the streaming path, or None for the VPU ladder.
+
+        Used when _pick_ntt already chose MXU for the plain path (TPU, wide
+        field, n_cols under the int8-conv cap); LCPC_STREAM_MXU=0 forces the
+        ladder."""
+        import os
+
+        from ..ops.mxu_ntt import MxuNtt
+
+        if os.environ.get("LCPC_STREAM_MXU", "1") == "0":
+            return None
+        return self._ntt if isinstance(self._ntt, MxuNtt) else None
+
+    # measured transient footprint of one MxuNtt call, bytes per CODEWORD
+    # element: int32 digit planes (2*W7-1 ~ 73 planes), digit arrays, and
+    # the two 16-limb intermediates
+    _MXU_STREAM_BPE = 500
+
     def encode_rows_lowmem(self, rows: jnp.ndarray) -> jnp.ndarray:
-        """VPU-ladder encode for the streaming path: the MXU digit-conv NTT
-        amplifies HBM ~3x (int32 digit planes + an XLA layout copy), which
-        is exactly what row-blocked streaming cannot afford; the ladder is
-        bit-identical (twin-tested) at ~250 B/element of transients."""
-        ntt = self._lowmem_ntt()
+        """Bounded-transient encode for the streaming path.
+
+        The MXU digit-conv NTT is ~40% faster than the VPU ladder but its
+        int32 digit planes cost ~500 B/element — unaffordable for a whole
+        96-row x 2^18 streaming block (the ladder needs ~250 B/element).
+        Resolution: keep the MXU kernel and bound its transients by running
+        the block as row SUB-chunks under lax.map (compiled once, buffers
+        sized for one sub-chunk).  Profiled at 2^25 ft255 the VPU-ladder
+        encode was 6.6 s of the 7.1 s commit — this path is what puts the
+        streaming commit past the 64-core baseline."""
         w, r, npr = rows.shape
         assert npr == self.n_per_row and w == self.ops.w
+        ntt_mxu = self._stream_mxu_ntt()
         padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
-        return ntt(padded)
+        if ntt_mxu is None:
+            return self._lowmem_ntt()(padded)
+
+        import os
+
+        budget = int(os.environ.get("LCPC_MXU_STREAM_BYTES", str(2 << 30)))
+        sub = max(1, min(budget // (self._MXU_STREAM_BPE * self.n_cols), r))
+        while r % sub:  # largest divisor of the block's row count
+            sub -= 1
+        if sub == r:
+            return ntt_mxu(padded)
+        xs = jnp.transpose(
+            padded.reshape(w, r // sub, sub, self.n_cols), (1, 0, 2, 3)
+        )
+        out = jax.lax.map(ntt_mxu, xs)
+        return jnp.transpose(out, (1, 0, 2, 3)).reshape(w, r, self.n_cols)
 
     def encode_row_host(self, row: list[int]) -> list[int]:
         assert len(row) <= self.n_cols

@@ -86,3 +86,31 @@ def test_pick_ntt_falls_back_beyond_mxu_cap():
     finally:
         if old is not None:
             os.environ["LCPC_MXU_NTT"] = old
+
+
+def test_stream_mxu_lowmem_encode_matches_ladder(monkeypatch):
+    # the streaming path's sub-chunked lax.map MXU encode must be
+    # bit-identical to the VPU-ladder encode it replaces
+    import jax.numpy as jnp
+
+    from lcpc_tpu.encodings.ligero import LigeroEncoding
+    from lcpc_tpu.ops.mxu_ntt import MxuNtt
+
+    monkeypatch.setenv("LCPC_MXU_NTT", "1")       # force MXU off-TPU
+    # tiny sub-chunk budget: 6 rows split as 3 sub-chunks of 2
+    spec = FT63
+    enc = LigeroEncoding.new_from_dims(spec, 32, 64)
+    assert isinstance(enc._ntt, MxuNtt)
+    monkeypatch.setenv(
+        "LCPC_MXU_STREAM_BYTES", str(LigeroEncoding._MXU_STREAM_BPE * 64 * 2)
+    )
+    assert enc._stream_mxu_ntt() is not None
+    ops = get_ops(spec)
+    rng = random.Random(7)
+    rows = [[rng.randrange(spec.p) for _ in range(32)] for _ in range(6)]
+    x = np.stack([ops.encode_host(r) for r in rows], axis=1)
+    got = enc.encode_rows_lowmem(jnp.asarray(x))
+
+    monkeypatch.setenv("LCPC_STREAM_MXU", "0")    # ladder twin
+    want = enc.encode_rows_lowmem(jnp.asarray(x))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
