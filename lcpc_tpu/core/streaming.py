@@ -169,6 +169,66 @@ def _encode_gather_fn(enc: LcEncoding):
     return fn
 
 
+# ---- packed-coefficient variants --------------------------------------------
+#
+# The coefficient matrix itself dominates prover residency at the largest
+# sizes (2^27 ft255 is 8 GB as u32 limbs — more than half the chip).  These
+# paths keep coefficients PACKED (16-bit limb pairs in u32 words, half the
+# bytes) and unpack per row block inside the jitted call, bounding the
+# unpacked form to one block transient.  Packing is representation-agnostic
+# (the Montgomery limbs are 16-bit either way), so results are bit-identical
+# to the unpacked path — twin-tested in tests/test_streaming.py.
+
+_encode_pack_packed_cache = weakref.WeakKeyDictionary()
+_encode_gather_packed_cache = weakref.WeakKeyDictionary()
+
+
+def _encode_pack_packed_fn(enc: LcEncoding):
+    fn = _encode_pack_packed_cache.get(enc)
+    if fn is None:
+        ops = get_ops(enc.spec)
+        _prepare_encode_constants(enc)
+        fn = jax.jit(
+            lambda block: _pack_words(
+                ops,
+                ops.from_mont(
+                    enc.encode_rows_lowmem(protocol._unpack_words_dev(block))
+                ),
+            )
+        )
+        _encode_pack_packed_cache[enc] = fn
+    return fn
+
+
+def _encode_gather_packed_fn(enc: LcEncoding):
+    fn = _encode_gather_packed_cache.get(enc)
+    if fn is None:
+        _prepare_encode_constants(enc)
+
+        def gather(block, idx):
+            rows = enc.encode_rows_lowmem(protocol._unpack_words_dev(block))
+            g = jnp.take(rows, idx, axis=2)
+            return g[0::2] | (g[1::2] << jnp.uint32(16))  # packed words
+        fn = jax.jit(gather)
+        _encode_gather_packed_cache[enc] = fn
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _collapse_packed_fns(ops):
+    """Jitted helpers for the packed-coefficient collapse: per-block partial
+    (canonical limbs), modular accumulate, and final word packing."""
+
+    def block(ts_blk, cblk):
+        return ops.collapse_canon(ts_blk, protocol._unpack_words_dev(cblk))
+
+    def pack_tc(canon):  # (W, T, C) -> (T, C, W/2) wire words
+        words = canon[0::2] | (canon[1::2] << jnp.uint32(16))
+        return jnp.transpose(words, (1, 2, 0))
+
+    return jax.jit(block), jax.jit(ops.add), jax.jit(pack_tc)
+
+
 @functools.lru_cache(maxsize=8)
 def _gather_canon_fn(ops):
     """Jitted: opened columns out of the retained canonical word buffer.
@@ -370,6 +430,7 @@ class LcCommitStreaming:
     row_block: int
     digest: DeviceDigest = BLAKE3
     words_dev: "jnp.ndarray | None" = None  # (n_rows*W/2, n_cols) canonical
+    packed: bool = False  # coeffs held as (W/2, n_rows, n_per_row) u32 words
     _hashes_np: "np.ndarray | None" = None
     _root: "bytes | None" = None
 
@@ -451,13 +512,17 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     else:
         arr = jnp.asarray(coeffs)
         length = arr.shape[1]
+    # packed coefficients carry W/2 u32 words per element instead of W limbs
+    # (half the resident bytes; see the packed-variant helpers above)
+    packed = arr.shape[0] == ops.w // 2
+    assert packed or arr.shape[0] == ops.w, arr.shape
 
     n_rows, n_per_row, n_cols = enc.get_dims(length)
     assert enc.dims_ok(n_per_row, n_cols)
     pad = n_rows * n_per_row - length
     if pad:
         arr = jnp.pad(arr, [(0, 0), (0, pad)])
-    mat = arr.reshape(ops.w, n_rows, n_per_row)
+    mat = arr.reshape(arr.shape[0], n_rows, n_per_row)
 
     wpe = enc.spec.w16 // 2
     total_words = 8 + n_rows * wpe
@@ -479,7 +544,8 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     rb = _row_block_for(enc.spec, n_rows, n_cols, row_block, resident)
     hasher = hasher_cls(n_cols, total_words)
 
-    encode_pack = _encode_pack_fn(enc)
+    encode_pack = (_encode_pack_packed_fn(enc) if packed
+                   else _encode_pack_fn(enc))
     words_dev = jnp.zeros((n_rows * wpe, n_cols), jnp.uint32) if keep else None
     write = jax.jit(
         lambda buf, w, i: jax.lax.dynamic_update_slice(buf, w, (i, 0)),
@@ -506,7 +572,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     return LcCommitStreaming(
         enc=enc, coeffs=mat, n_rows=n_rows, n_per_row=n_per_row,
         n_cols=n_cols, hashes_dev=flat, row_block=rb, digest=digest,
-        words_dev=words_dev,
+        words_dev=words_dev, packed=packed,
     )
 
 
@@ -532,7 +598,23 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
             ts = np.stack([t, outer_limbs], axis=1)
         else:
             ts = t[:, None, :]
-        words = np.asarray(ops.collapse_words(jnp.asarray(ts), comm.coeffs))
+        if comm.packed:
+            # per-block collapse with modular accumulation: each block's
+            # partial is canonical (< p), so ops.add combines them exactly;
+            # only one block's unpacked limbs are ever transient
+            blk, acc_add, pack_tc = _collapse_packed_fns(ops)
+            ts_dev = jnp.asarray(ts)
+            acc = None
+            rb_c = comm.row_block
+            for r0 in range(0, comm.n_rows, rb_c):
+                r1 = min(r0 + rb_c, comm.n_rows)
+                part = blk(ts_dev[:, :, r0:r1], comm.coeffs[:, r0:r1, :])
+                acc = part if acc is None else acc_add(acc, part)
+            words = np.asarray(pack_tc(acc))
+        else:
+            words = np.asarray(
+                ops.collapse_words(jnp.asarray(ts), comm.coeffs)
+            )
         rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
         p_random_rows.append(rows)
@@ -560,7 +642,8 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         col_w = np.asarray(col_w_dev)
     else:
         path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
-        gather = _encode_gather_fn(enc)
+        gather = (_encode_gather_packed_fn(enc) if comm.packed
+                  else _encode_gather_fn(enc))
         pieces = []
         rb = comm.row_block
         for r0 in range(0, comm.n_rows, rb):

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--stream-from", type=int, default=23,
                     help="use the streaming commit path for logn >= this "
                          "(bounds the encode's HBM temporaries)")
+    ap.add_argument("--packed-from", type=int, default=27,
+                    help="hold coefficients packed (W/2 u32 words, half the "
+                         "resident bytes) for logn >= this; needs the "
+                         "streaming path")
     args = ap.parse_args()
 
     from lcpc_tpu.utils.cache import enable_compilation_cache
@@ -63,10 +67,31 @@ def main():
         # reduced by to_mont; distribution irrelevant for timing) — a host
         # upload at 2^25 is ~2.4 GB through the tunnel
         key = jax.random.PRNGKey(args.seed)
-        raw = jax.random.bits(key, (ops.w, n), dtype=jnp.uint32) & jnp.uint32(
-            0xFFFF
-        )
-        coeffs = ops.to_mont(raw)
+        if lgl >= args.packed_from:
+            # packed resident form: generate valid Montgomery elements by
+            # chunks and pack limb pairs into u32 words (half the bytes; the
+            # 2^27 ft255 limb form alone would be 8 GB)
+            wpe = ops.w // 2
+            chunk = min(n, 1 << 24)
+            assert n % chunk == 0
+
+            def gen(k, buf, i):
+                raw = jax.random.bits(
+                    k, (ops.w, chunk), dtype=jnp.uint32
+                ) & jnp.uint32(0xFFFF)
+                m = ops.to_mont(raw)
+                w = m[0::2] | (m[1::2] << jnp.uint32(16))
+                return jax.lax.dynamic_update_slice(buf, w, (0, i))
+
+            gen_jit = jax.jit(gen, donate_argnums=1)
+            coeffs = jnp.zeros((wpe, n), jnp.uint32)
+            for i in range(0, n, chunk):
+                coeffs = gen_jit(jax.random.fold_in(key, i), coeffs, i)
+        else:
+            raw = jax.random.bits(
+                key, (ops.w, n), dtype=jnp.uint32
+            ) & jnp.uint32(0xFFFF)
+            coeffs = ops.to_mont(raw)
         jax.block_until_ready(coeffs)
         if args.enc == "ligero":
             enc = LigeroEncoding.new(spec, n, rho_num=rn, rho_den=rd)

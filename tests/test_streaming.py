@@ -90,3 +90,48 @@ def test_streaming_sha256_digest():
     for i, c in enumerate(coeffs):
         want = (want + c * pow(x, i, spec.p)) % spec.p
     assert got == want
+
+
+@pytest.mark.parametrize("keep", [True, False])
+def test_streaming_packed_coeffs(keep, monkeypatch):
+    """Packed-coefficient streaming (W/2 u32 words resident, per-block
+    unpack) is bit-identical to the unpacked path: same root/hashes, same
+    proof, through both the retained-codeword and re-encode prove paths."""
+    from lcpc_tpu.ops.limbs import get_ops
+
+    spec = FT63
+    ops = get_ops(spec)
+    rng = random.Random(99)
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 700 - 13
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+
+    if not keep:
+        monkeypatch.setenv("LCPC_STREAM_KEEP_BYTES", "0")
+    plain = streaming.commit_streaming(coeffs, enc, row_block=128)
+    arr = ops.encode_host(coeffs)  # (W, length) Montgomery limbs
+    packed_arr = arr[0::2] | (arr[1::2] << np.uint32(16))  # (W/2, length)
+    packed = streaming.commit_streaming(packed_arr, enc, row_block=128)
+    assert packed.packed and not plain.packed
+    assert (packed.words_dev is not None) == keep
+
+    assert packed.get_root() == plain.get_root()
+    assert np.array_equal(packed.hashes, plain.hashes)
+
+    x = rng.randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, plain.n_per_row, plain.n_rows)
+    pf_pk = packed.prove(outer, _preamble(enc, packed.get_root()))
+    pf_pl = plain.prove(outer, _preamble(enc, plain.get_root()))
+    assert pf_pk.p_eval == pf_pl.p_eval
+    assert pf_pk.p_random_vec == pf_pl.p_random_vec
+    for a, b in zip(pf_pk.columns, pf_pl.columns):
+        assert np.array_equal(a.col_mont, b.col_mont)
+        assert a.path == b.path
+
+    got = pf_pk.verify(
+        packed.get_root(), outer, inner, enc, _preamble(enc, packed.get_root())
+    )
+    want = 0
+    for i, c in enumerate(coeffs):
+        want = (want + c * pow(x, i, spec.p)) % spec.p
+    assert got == want
