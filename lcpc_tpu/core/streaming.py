@@ -541,6 +541,11 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     n_chunks = max(1, (total_words + 255) // 256)
     resident = (int(arr.nbytes) + (keep_bytes if keep else 0)
                 + (n_chunks + 2) * 8 * n_cols * 4 + 256 * n_cols * 4)
+    # the MXU streaming encode adds its own bounded sub-chunk transient
+    # (LCPC_MXU_STREAM_BYTES, see ligero.encode_rows_lowmem) on top of the
+    # per-row-block footprint — reserve it here so block sizing stays honest
+    if hasattr(enc, "_stream_mxu_ntt") and enc._stream_mxu_ntt() is not None:
+        resident += int(os.environ.get("LCPC_MXU_STREAM_BYTES", str(3 << 28)))
     rb = _row_block_for(enc.spec, n_rows, n_cols, row_block, resident)
     hasher = hasher_cls(n_cols, total_words)
 

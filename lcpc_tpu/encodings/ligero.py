@@ -225,7 +225,11 @@ class LigeroEncoding(LcEncoding):
 
         import os
 
-        budget = int(os.environ.get("LCPC_MXU_STREAM_BYTES", str(2 << 30)))
+        # 1 GiB default: at 2^25 ft255 with the retained-codeword buffer the
+        # 2 GiB sub-chunk transient OOMed the chip (keep + coeffs + carry
+        # already hold ~6.6 GB); commit_streaming budgets this amount into
+        # its row-block sizing, so the two stay consistent
+        budget = int(os.environ.get("LCPC_MXU_STREAM_BYTES", str(3 << 28)))
         sub = max(1, min(budget // (self._MXU_STREAM_BPE * self.n_cols), r))
         while r % sub:  # largest divisor of the block's row count
             sub -= 1
