@@ -37,6 +37,18 @@ def main():
     from lcpc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    logn = int(os.environ.get("LCPC_BENCH_LOGN", "25"))
+    try:
+        result = _bench(logn)
+    except Exception as e:  # large-N OOM safety: never leave the driver empty
+        if logn <= 21:
+            raise
+        log(f"2^{logn} failed ({type(e).__name__}: {e}); retrying at 2^21")
+        result = _bench(21)
+    print(json.dumps(result))
+
+
+def _bench(logn):
     import jax
     import jax.numpy as jnp
 
@@ -45,8 +57,6 @@ def main():
     from lcpc_tpu.core import protocol, streaming
     from lcpc_tpu.ops.limbs import get_ops
 
-    # default flips to 25 once the 2^25 streaming path is validated on-chip
-    logn = int(os.environ.get("LCPC_BENCH_LOGN", "21"))
     field = os.environ.get("LCPC_BENCH_FIELD", "ft255")
     stream_from = int(os.environ.get("LCPC_BENCH_STREAM_FROM", "23"))
     spec = FIELDS_BY_NAME[field]
@@ -141,12 +151,12 @@ def main():
 
     baseline = BASELINE_64C.get(logn)
     vs = (baseline / commit_s) if baseline else None
-    print(json.dumps({
+    return {
         "metric": f"ligero_{field}_rho1-4_commit_2^{logn}",
         "value": round(commit_s, 4),
         "unit": "s",
         "vs_baseline": round(vs, 3) if vs else None,
-    }))
+    }
 
 
 if __name__ == "__main__":

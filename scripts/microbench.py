@@ -31,9 +31,12 @@ def main():
     ap.add_argument("--pvs", action="store_true",
                     help="also run prove/verify/size lines")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--stream-from", type=int, default=23,
+    ap.add_argument("--stream-from", type=int, default=None,
                     help="use the streaming commit path for logn >= this "
-                         "(bounds the encode's HBM temporaries)")
+                         "(bounds the encode's HBM temporaries); default 23 "
+                         "for ligero (4x codeword expansion at rho=1/4), 26 "
+                         "for brakedown (~1.6x expansion fits HBM longer, "
+                         "and its streaming ladder is slow to compile)")
     ap.add_argument("--packed-from", type=int, default=27,
                     help="hold coefficients packed (W/2 u32 words, half the "
                          "resident bytes) for logn >= this; needs the "
@@ -98,7 +101,10 @@ def main():
         else:
             enc = SdigEncoding.new(spec, n, seed=0)
 
-        if lgl >= args.stream_from:
+        stream_from = args.stream_from
+        if stream_from is None:
+            stream_from = 23 if args.enc == "ligero" else 26
+        if lgl >= stream_from:
             from lcpc_tpu.core import streaming
 
             def do_commit():
