@@ -481,15 +481,22 @@ def _row_block_for(spec, n_rows: int, n_cols: int,
     handful of cached traces) — this is what lets 2^25 ft255 codewords
     (10 GB per 256 rows) stream on a 16 GB chip with 32..128-row blocks.
     """
-    import os
+    from ..utils import hbm as hbm_budget
 
     wpe = spec.w16 // 2
     if requested is None:
-        budget = int(os.environ.get("LCPC_STREAM_BYTES", str(6 << 30)))
-        # usable-HBM ceiling, measured on the v5e chip: a 12.4 GB peak OOMs,
-        # an 8.6 GB peak fits (the runtime + framework reserve the rest of
-        # the 16 GB); no memory_stats() on this backend to read it directly
-        hbm = int(os.environ.get("LCPC_HBM_BYTES", str(10 << 30)))
+        budget = hbm_budget.stream_bytes()
+        hbm = hbm_budget.usable_hbm_bytes()
+        if hbm - resident_bytes < 512 << 20:
+            import warnings
+
+            warnings.warn(
+                f"streaming commit: resident arrays ({resident_bytes >> 20}"
+                f" MiB) leave under 512 MiB of the {hbm >> 20} MiB usable "
+                "HBM for block transients; falling back to minimum-size row "
+                "blocks (throughput will suffer). Consider packed "
+                "coefficients or a host-resident CoeffSource."
+            )
         budget = max(min(budget, hbm - resident_bytes), 512 << 20)
         per_row = n_cols * (12 * spec.w16 + 4 * wpe) + 1
         requested = max(32, budget // per_row)
@@ -501,7 +508,16 @@ def _row_block_for(spec, n_rows: int, n_cols: int,
 
 
 def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
-                     digest: DeviceDigest = BLAKE3) -> LcCommitStreaming:
+                     digest: DeviceDigest = BLAKE3,
+                     packed: "bool | None" = None) -> LcCommitStreaming:
+    """Streaming commit over row blocks (see module docstring).
+
+    `coeffs` is a list of ints, or a limb-major uint32 array in Montgomery
+    form whose leading axis selects the layout: W rows = one 16-bit limb per
+    row; W/2 rows = PACKED (limb pairs in u32 words, half the resident
+    bytes).  The layout is inferred from that shape unless `packed=` is
+    passed explicitly, which also asserts the shape matches.
+    """
     ops = get_ops(enc.spec)
     hasher_cls = _STREAM_HASHERS.get(digest.name)
     if hasher_cls is None:
@@ -514,8 +530,10 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
         length = arr.shape[1]
     # packed coefficients carry W/2 u32 words per element instead of W limbs
     # (half the resident bytes; see the packed-variant helpers above)
-    packed = arr.shape[0] == ops.w // 2
-    assert packed or arr.shape[0] == ops.w, arr.shape
+    if packed is None:
+        packed = arr.shape[0] == ops.w // 2
+    expect = ops.w // 2 if packed else ops.w
+    assert arr.shape[0] == expect, (arr.shape, packed)
 
     n_rows, n_per_row, n_cols = enc.get_dims(length)
     assert enc.dims_ok(n_per_row, n_cols)
@@ -530,9 +548,9 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     # retain the packed canonical codeword when it fits the budget: prove
     # then gathers columns in one dispatch instead of re-encoding every
     # block (at 2^25 ligero the re-encode costs ~a full commit per proof)
-    import os
+    from ..utils import hbm as hbm_budget
 
-    keep_budget = int(os.environ.get("LCPC_STREAM_KEEP_BYTES", str(5 << 30)))
+    keep_budget = hbm_budget.keep_bytes_budget()
     keep_bytes = n_rows * wpe * n_cols * 4
     keep = keep_bytes <= keep_budget
 
@@ -545,7 +563,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     # (LCPC_MXU_STREAM_BYTES, see ligero.encode_rows_lowmem) on top of the
     # per-row-block footprint — reserve it here so block sizing stays honest
     if hasattr(enc, "_stream_mxu_ntt") and enc._stream_mxu_ntt() is not None:
-        resident += int(os.environ.get("LCPC_MXU_STREAM_BYTES", str(3 << 28)))
+        resident += hbm_budget.mxu_stream_bytes()
     rb = _row_block_for(enc.spec, n_rows, n_cols, row_block, resident)
     hasher = hasher_cls(n_cols, total_words)
 

@@ -223,13 +223,14 @@ class LigeroEncoding(LcEncoding):
         if ntt_mxu is None:
             return self._lowmem_ntt()(padded)
 
-        import os
+        from ..utils import hbm as hbm_budget
 
-        # 1 GiB default: at 2^25 ft255 with the retained-codeword buffer the
-        # 2 GiB sub-chunk transient OOMed the chip (keep + coeffs + carry
-        # already hold ~6.6 GB); commit_streaming budgets this amount into
-        # its row-block sizing, so the two stay consistent
-        budget = int(os.environ.get("LCPC_MXU_STREAM_BYTES", str(3 << 28)))
+        # 768 MiB default (utils/hbm.MXU_STREAM_BYTES_DEFAULT): at 2^25
+        # ft255 with the retained-codeword buffer a 2 GiB sub-chunk
+        # transient OOMed the chip (keep + coeffs + carry already hold
+        # ~6.6 GB); commit_streaming reserves the same constant in its
+        # row-block sizing, so the two cannot desynchronize
+        budget = hbm_budget.mxu_stream_bytes()
         sub = max(1, min(budget // (self._MXU_STREAM_BPE * self.n_cols), r))
         while r % sub:  # largest divisor of the block's row count
             sub -= 1

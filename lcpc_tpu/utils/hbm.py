@@ -1,0 +1,114 @@
+"""HBM budget resolution for the streaming commit paths.
+
+One module owns every memory constant the streaming row-block sizing uses,
+so the encode transient reserve (`ligero.encode_rows_lowmem`) and the
+block sizing (`core/streaming._row_block_for`) can never silently
+desynchronize.  The usable-HBM figure is PROBED, not guessed: the backend
+reports `memory_stats()` where supported; otherwise a one-time allocation
+ladder finds the largest power-of-two buffer the runtime will grant and the
+result is cached for the process.  Env overrides (all bytes):
+
+  LCPC_HBM_BYTES          usable device memory (skips the probe)
+  LCPC_STREAM_BYTES       cap on the per-row-block transient budget
+  LCPC_STREAM_KEEP_BYTES  cap on the retained packed codeword
+  LCPC_MXU_STREAM_BYTES   MXU streaming-NTT sub-chunk transient
+"""
+
+from __future__ import annotations
+
+import os
+
+# Default transient budget for the MXU streaming NTT's digit planes
+# (768 MiB).  ligero.encode_rows_lowmem sizes its row sub-chunks from this,
+# and commit_streaming reserves the same amount when sizing row blocks.
+MXU_STREAM_BYTES_DEFAULT = 3 << 28
+
+# Per-row-block transient cap (the NTT/SpMV ladder's working set).
+STREAM_BYTES_DEFAULT = 6 << 30
+
+_probed_hbm: "int | None" = None
+
+
+def mxu_stream_bytes() -> int:
+    return int(os.environ.get("LCPC_MXU_STREAM_BYTES",
+                              str(MXU_STREAM_BYTES_DEFAULT)))
+
+
+def stream_bytes() -> int:
+    return int(os.environ.get("LCPC_STREAM_BYTES", str(STREAM_BYTES_DEFAULT)))
+
+
+def keep_bytes_budget(usable: "int | None" = None) -> int:
+    """Cap on the retained packed canonical codeword.
+
+    Defaults to half the usable HBM (the other half must hold coefficients,
+    hasher state, and block transients) — on the 16 GB v5e this resolves to
+    the same 5 GiB the old hardwired default used, but scales with the SKU.
+    """
+    env = os.environ.get("LCPC_STREAM_KEEP_BYTES")
+    if env is not None:
+        return int(env)
+    if usable is None:
+        usable = usable_hbm_bytes()
+    return usable // 2
+
+
+def usable_hbm_bytes() -> int:
+    """Usable device-memory budget in bytes.
+
+    Resolution order: LCPC_HBM_BYTES env, backend memory_stats(), allocation
+    probe.  The result is cached for the process (the probe allocates).
+    """
+    env = os.environ.get("LCPC_HBM_BYTES")
+    if env is not None:
+        return int(env)
+    global _probed_hbm
+    if _probed_hbm is None:
+        _probed_hbm = _probe()
+    return _probed_hbm
+
+
+def _probe() -> int:
+    import jax
+
+    dev = jax.devices()[0]
+    # 1) backend-reported limit (TPU runtimes that support memory_stats)
+    try:
+        stats = dev.memory_stats()
+        if stats:
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit"
+            )
+            if limit:
+                in_use = stats.get("bytes_in_use", 0)
+                # leave ~6% headroom for runtime/framework scratch
+                return int((limit - in_use) * 0.94)
+    except Exception:
+        pass
+    # 2) platform-default for host/CPU runs (tests): pretend a 16 GB chip so
+    #    block sizing behaves as on the real device without probing host RAM
+    if dev.platform == "cpu":
+        return 10 << 30
+    # 3) allocation ladder: find the largest grantable buffer.  Each try is
+    #    released before the next; failures are the backend's RESOURCE_EXHAUSTED.
+    import jax.numpy as jnp
+
+    granted = 0
+    for gb in (12, 11, 10, 9, 8, 6, 4, 2):
+        nbytes = gb << 30
+        try:
+            buf = jnp.zeros((nbytes // 4,), jnp.uint32)
+            buf.block_until_ready()
+            del buf
+            granted = nbytes
+            break
+        except Exception:
+            continue
+    if granted == 0:
+        raise RuntimeError(
+            "could not allocate even 2 GiB of device memory; set "
+            "LCPC_HBM_BYTES to the usable byte count explicitly"
+        )
+    # the ladder measures a single contiguous grant; keep ~15% headroom for
+    # fragmentation and runtime scratch
+    return int(granted * 0.85)

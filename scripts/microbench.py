@@ -104,6 +104,10 @@ def main():
         stream_from = args.stream_from
         if stream_from is None:
             stream_from = 23 if args.enc == "ligero" else 26
+        # packed (W/2-word) coefficients are only understood by the
+        # streaming path; force the streaming threshold down rather than
+        # handing packed data to protocol.commit
+        stream_from = min(stream_from, args.packed_from)
         if lgl >= stream_from:
             from lcpc_tpu.core import streaming
 
