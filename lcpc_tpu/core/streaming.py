@@ -414,15 +414,20 @@ class LcCommitStreaming:
 
     When the packed CANONICAL codeword fits the HBM budget it is retained
     (words_dev, (n_rows*W/2, n_cols) u32 — half the bytes of the Montgomery
-    limb form), so prove gathers opened columns directly; otherwise prove
-    re-encodes the coefficient blocks on demand (the trade the reference
-    never faces: its LcCommit always holds the codeword, lib.rs:173-184).
-    Like LcCommit, the Merkle array stays on device as digest words; the
-    byte view (serialization) materializes lazily.
+    limb form), so prove gathers opened columns directly; with
+    spill="host" it is retained in host RAM instead (words_host) and prove
+    gathers there; otherwise prove re-encodes the coefficient blocks on
+    demand (the trade the reference never faces: its LcCommit always holds
+    the codeword, lib.rs:173-184).  Coefficients live behind a CoeffSource
+    (device array / host RAM / seeded regeneration — see core/coeffs.py);
+    `coeffs` is the device matrix view when the source is array-backed,
+    else None.  Like LcCommit, the Merkle array stays on device as digest
+    words; the byte view (serialization) materializes lazily.
     """
 
     enc: LcEncoding
-    coeffs: jnp.ndarray  # (W, n_rows, n_per_row)
+    source: "object"  # CoeffSource
+    coeffs: "jnp.ndarray | None"  # (W or W/2, n_rows, n_per_row) if array-backed
     n_rows: int
     n_per_row: int
     n_cols: int
@@ -430,6 +435,7 @@ class LcCommitStreaming:
     row_block: int
     digest: DeviceDigest = BLAKE3
     words_dev: "jnp.ndarray | None" = None  # (n_rows*W/2, n_cols) canonical
+    words_host: "np.ndarray | None" = None  # same layout, host RAM spill
     packed: bool = False  # coeffs held as (W/2, n_rows, n_per_row) u32 words
     _hashes_np: "np.ndarray | None" = None
     _root: "bytes | None" = None
@@ -509,38 +515,41 @@ def _row_block_for(spec, n_rows: int, n_cols: int,
 
 def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
                      digest: DeviceDigest = BLAKE3,
-                     packed: "bool | None" = None) -> LcCommitStreaming:
+                     packed: "bool | None" = None,
+                     spill: str = "auto") -> LcCommitStreaming:
     """Streaming commit over row blocks (see module docstring).
 
-    `coeffs` is a list of ints, or a limb-major uint32 array in Montgomery
-    form whose leading axis selects the layout: W rows = one 16-bit limb per
-    row; W/2 rows = PACKED (limb pairs in u32 words, half the resident
-    bytes).  The layout is inferred from that shape unless `packed=` is
-    passed explicitly, which also asserts the shape matches.
+    `coeffs` is a list of ints, a limb-major uint32 array in Montgomery
+    form, or a CoeffSource (core/coeffs.py — host-RAM or seeded device
+    generation for beyond-HBM sizes).  For arrays the leading axis selects
+    the layout: W rows = one 16-bit limb per row; W/2 rows = PACKED (limb
+    pairs in u32 words, half the resident bytes).  The layout is inferred
+    from that shape unless `packed=` is passed explicitly, which also
+    asserts the shape matches.
+
+    `spill` controls where the packed canonical codeword is retained for
+    prove's column gather:
+      "auto"   device when it fits the HBM keep budget, else dropped;
+      "device" force device-resident (may OOM);
+      "host"   spill per-block to host RAM (prove gathers there — the
+               right mode on PCIe-attached hosts for >HBM codewords);
+      "none"   never retain (prove re-encodes blocks on demand).
     """
+    from . import coeffs as coeffs_mod
+
     ops = get_ops(enc.spec)
     hasher_cls = _STREAM_HASHERS.get(digest.name)
     if hasher_cls is None:
         raise ValueError(f"no streaming hasher for digest {digest.name!r}")
-    if isinstance(coeffs, list):
-        length = len(coeffs)
-        arr = jnp.asarray(ops.encode_host(coeffs))
-    else:
-        arr = jnp.asarray(coeffs)
-        length = arr.shape[1]
-    # packed coefficients carry W/2 u32 words per element instead of W limbs
-    # (half the resident bytes; see the packed-variant helpers above)
-    if packed is None:
-        packed = arr.shape[0] == ops.w // 2
-    expect = ops.w // 2 if packed else ops.w
-    assert arr.shape[0] == expect, (arr.shape, packed)
+    assert spill in ("auto", "device", "host", "none"), spill
+    source = coeffs_mod.as_source(coeffs, enc.spec, packed=packed)
+    length = source.length
 
     n_rows, n_per_row, n_cols = enc.get_dims(length)
     assert enc.dims_ok(n_per_row, n_cols)
-    pad = n_rows * n_per_row - length
-    if pad:
-        arr = jnp.pad(arr, [(0, 0), (0, pad)])
-    mat = arr.reshape(arr.shape[0], n_rows, n_per_row)
+    source.set_dims(n_rows, n_per_row)
+    array_backed = isinstance(source, coeffs_mod.ArrayCoeffSource)
+    src_packed = bool(getattr(source, "packed", False))
 
     wpe = enc.spec.w16 // 2
     total_words = 8 + n_rows * wpe
@@ -550,14 +559,17 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     # block (at 2^25 ligero the re-encode costs ~a full commit per proof)
     from ..utils import hbm as hbm_budget
 
-    keep_budget = hbm_budget.keep_bytes_budget()
     keep_bytes = n_rows * wpe * n_cols * 4
-    keep = keep_bytes <= keep_budget
+    if spill == "auto":
+        keep = keep_bytes <= hbm_budget.keep_bytes_budget()
+    else:
+        keep = spill == "device"
+    host_spill = spill == "host"
 
     # arrays resident for the whole commit, which the block transients must
     # fit alongside: coefficients, the retained codeword, hasher carry state
     n_chunks = max(1, (total_words + 255) // 256)
-    resident = (int(arr.nbytes) + (keep_bytes if keep else 0)
+    resident = (source.resident_bytes + (keep_bytes if keep else 0)
                 + (n_chunks + 2) * 8 * n_cols * 4 + 256 * n_cols * 4)
     # the MXU streaming encode adds its own bounded sub-chunk transient
     # (LCPC_MXU_STREAM_BYTES, see ligero.encode_rows_lowmem) on top of the
@@ -567,9 +579,18 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     rb = _row_block_for(enc.spec, n_rows, n_cols, row_block, resident)
     hasher = hasher_cls(n_cols, total_words)
 
-    encode_pack = (_encode_pack_packed_fn(enc) if packed
-                   else _encode_pack_fn(enc))
+    if array_backed:
+        # fused path: the (possibly packed) resident block feeds the jit
+        # directly, unpacking inside the trace
+        encode_pack = (_encode_pack_packed_fn(enc) if src_packed
+                       else _encode_pack_fn(enc))
+        get_block = source.raw_block
+    else:
+        encode_pack = _encode_pack_fn(enc)
+        get_block = source.block
     words_dev = jnp.zeros((n_rows * wpe, n_cols), jnp.uint32) if keep else None
+    words_host = (np.empty((n_rows * wpe, n_cols), np.uint32)
+                  if host_spill else None)
     write = jax.jit(
         lambda buf, w, i: jax.lax.dynamic_update_slice(buf, w, (i, 0)),
         donate_argnums=0,
@@ -577,10 +598,12 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
 
     for r0 in range(0, n_rows, rb):
         r1 = min(r0 + rb, n_rows)
-        words = encode_pack(mat[:, r0:r1, :])
+        words = encode_pack(get_block(r0, r1))
+        hasher.update(words)  # async dispatch; overlaps any host spill below
         if keep:
             words_dev = write(words_dev, words, r0 * wpe)
-        hasher.update(words)
+        elif host_spill:
+            words_host[r0 * wpe : r1 * wpe] = np.asarray(words)
 
     leaves = hasher.finalize()  # (8, n_cols)
 
@@ -593,10 +616,47 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     flat = jnp.concatenate(layers, axis=1)
 
     return LcCommitStreaming(
-        enc=enc, coeffs=mat, n_rows=n_rows, n_per_row=n_per_row,
+        enc=enc, source=source,
+        coeffs=source._mat if array_backed else None,
+        n_rows=n_rows, n_per_row=n_per_row,
         n_cols=n_cols, hashes_dev=flat, row_block=rb, digest=digest,
-        words_dev=words_dev, packed=packed,
+        words_dev=words_dev, words_host=words_host, packed=src_packed,
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _collapse_block_fns(ops):
+    """Jitted helpers for the generic blocked collapse over UNPACKED limb
+    blocks (CoeffSource path): per-block canonical partial, modular
+    accumulate, and final wire-word packing."""
+
+    def block(ts_blk, cblk):
+        return ops.collapse_canon(ts_blk, cblk)
+
+    def pack_tc(canon):  # (W, T, C) -> (T, C, W/2) wire words
+        words = canon[0::2] | (canon[1::2] << jnp.uint32(16))
+        return jnp.transpose(words, (1, 2, 0))
+
+    return jax.jit(block), jax.jit(ops.add), jax.jit(pack_tc)
+
+
+@functools.lru_cache(maxsize=8)
+def _host_cols_to_proof_fn(ops):
+    """Jitted: host-gathered canonical column words -> packed Montgomery
+    proof words (the wire form).  Mirrors _gather_canon_fn minus the
+    on-device gather (numpy did it against the host-spilled codeword)."""
+    wpe = ops.w // 2
+
+    def g(cols):  # (R*wpe, k) canonical words
+        k = cols.shape[1]
+        c = cols.reshape(-1, wpe, k)
+        lo = c & jnp.uint32(0xFFFF)
+        hi = c >> jnp.uint32(16)
+        canon = jnp.stack([lo, hi], axis=2).reshape(c.shape[0], 2 * wpe, k)
+        mont = ops.to_mont(jnp.transpose(canon, (1, 0, 2)))  # (W, R, k)
+        return mont[0::2] | (mont[1::2] << jnp.uint32(16))
+
+    return jax.jit(g)
 
 
 def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
@@ -621,7 +681,11 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
             ts = np.stack([t, outer_limbs], axis=1)
         else:
             ts = t[:, None, :]
-        if comm.packed:
+        if comm.coeffs is not None and not comm.packed:
+            words = np.asarray(
+                ops.collapse_words(jnp.asarray(ts), comm.coeffs)
+            )
+        elif comm.coeffs is not None:
             # per-block collapse with modular accumulation: each block's
             # partial is canonical (< p), so ops.add combines them exactly;
             # only one block's unpacked limbs are ever transient
@@ -635,9 +699,18 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
                 acc = part if acc is None else acc_add(acc, part)
             words = np.asarray(pack_tc(acc))
         else:
-            words = np.asarray(
-                ops.collapse_words(jnp.asarray(ts), comm.coeffs)
-            )
+            # CoeffSource path (host-resident or seeded): same blocked
+            # accumulation over regenerated/uploaded unpacked blocks.
+            # collapse_canon wants (W, R, C); a block arrives (W, m, npr).
+            blk, acc_add, pack_tc = _collapse_block_fns(ops)
+            ts_dev = jnp.asarray(ts)
+            acc = None
+            rb_c = comm.row_block
+            for r0 in range(0, comm.n_rows, rb_c):
+                r1 = min(r0 + rb_c, comm.n_rows)
+                part = blk(ts_dev[:, :, r0:r1], comm.source.block(r0, r1))
+                acc = part if acc is None else acc_add(acc, part)
+            words = np.asarray(pack_tc(acc))
         rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
         p_random_rows.append(rows)
@@ -652,7 +725,8 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
     )
 
     # gather the opened columns: from the retained canonical codeword in one
-    # dispatch when available, else by re-encoding coefficient blocks; the
+    # dispatch when device-resident, from the host-spilled copy by numpy
+    # gather when spill="host", else by re-encoding coefficient blocks; the
     # Merkle path nodes gather from the device hash array either way
     idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
     path_idx = protocol.path_node_indices(comm.n_cols, cols_to_open)
@@ -663,15 +737,27 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
             jnp.asarray(uniq.astype(np.int32)),
         )
         col_w = np.asarray(col_w_dev)
+    elif comm.words_host is not None:
+        path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
+        cols_np = np.ascontiguousarray(
+            comm.words_host[:, np.asarray(cols_to_open, dtype=np.int64)]
+        )
+        col_w = np.asarray(_host_cols_to_proof_fn(ops)(jnp.asarray(cols_np)))
+        col_w = col_w.reshape(ops.w // 2, comm.n_rows, len(cols_to_open))
     else:
         path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
-        gather = (_encode_gather_packed_fn(enc) if comm.packed
-                  else _encode_gather_fn(enc))
+        if comm.coeffs is not None:
+            gather = (_encode_gather_packed_fn(enc) if comm.packed
+                      else _encode_gather_fn(enc))
+            get_block = lambda r0, r1: comm.coeffs[:, r0:r1, :]
+        else:
+            gather = _encode_gather_fn(enc)
+            get_block = comm.source.block
         pieces = []
         rb = comm.row_block
         for r0 in range(0, comm.n_rows, rb):
             r1 = min(r0 + rb, comm.n_rows)
-            pieces.append(np.asarray(gather(comm.coeffs[:, r0:r1, :], idx)))
+            pieces.append(np.asarray(gather(get_block(r0, r1), idx)))
         col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k) packed
 
     return LcEvalProof(

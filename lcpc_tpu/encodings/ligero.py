@@ -30,10 +30,15 @@ from ..ops.ntt import get_ntt, ntt_host
 LAMBDA = 128
 
 
-def _pick_ntt(spec: FieldSpec, n: int):
+def _pick_ntt(spec: FieldSpec, n: int, in_len: "int | None" = None):
     """Choose the NTT backend: the MXU int8-conv path wins for wide fields on
     TPU (~1.4x for ft255); the VPU ladder is best for narrow fields and CPU.
-    Override with LCPC_MXU_NTT=0/1."""
+    Override with LCPC_MXU_NTT=0/1.
+
+    in_len < n requests the zero-padded-input plan (rate-1/m systematic
+    encode): the step-1 kernel contracts only the nonzero channels, cutting
+    the dominant conv cost by n/in_len (ops/mxu_ntt.MxuNttPlan).
+    """
     import os
 
     import jax
@@ -49,10 +54,13 @@ def _pick_ntt(spec: FieldSpec, n: int):
     if use_mxu:
         from ..ops.mxu_ntt import get_mxu_ntt, mxu_supported
 
+        if in_len is not None and in_len < n and mxu_supported(spec, n, in_len):
+            return get_mxu_ntt(spec, n, in_len)
         if mxu_supported(spec, n):
             return get_mxu_ntt(spec, n)
         # beyond the int8-conv contraction cap (conv_cap; n > 2^22 for
-        # ft255): the VPU ladder has no size cap below the 2-adicity bound
+        # ft255 full plans, 2^24 at rate 1/4): the VPU ladder has no size
+        # cap below the 2-adicity bound
     return get_ntt(spec, n)
 
 
@@ -73,7 +81,11 @@ class LigeroEncoding(LcEncoding):
         self.n_per_row = n_per_row
         self.n_cols = n_cols
         self.ops = get_ops(spec)
-        self._ntt = _pick_ntt(spec, n_cols)
+        # the systematic encode zero-pads n_per_row -> n_cols; the MXU plan
+        # exploits that (rectangular step-1 kernel) when the padded length
+        # is a power-of-two multiple of the input
+        self._ntt = _pick_ntt(spec, n_cols, in_len=_next_pow2(n_per_row))
+        self._ntt_in = getattr(self._ntt, "in_len", n_cols)
 
     # ---- constructors (lib.rs:120-148) ---------------------------------------
 
@@ -171,7 +183,9 @@ class LigeroEncoding(LcEncoding):
     def encode_rows(self, rows: jnp.ndarray) -> jnp.ndarray:
         w, r, npr = rows.shape
         assert npr == self.n_per_row and w == self.ops.w
-        padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
+        # pad only to the NTT's declared input length: the zero-padded-input
+        # MXU plan takes the unpadded block (n_cols/in_len cheaper step 1)
+        padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self._ntt_in - npr)])
         return self._ntt(padded)
 
     def _lowmem_ntt(self):
@@ -219,9 +233,12 @@ class LigeroEncoding(LcEncoding):
         w, r, npr = rows.shape
         assert npr == self.n_per_row and w == self.ops.w
         ntt_mxu = self._stream_mxu_ntt()
-        padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
         if ntt_mxu is None:
+            padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
             return self._lowmem_ntt()(padded)
+        # MXU path: pad only to the plan's input length (n_per_row for the
+        # zero-padded-input plan — no (w, r, n_cols) zero buffer at all)
+        padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self._ntt_in - npr)])
 
         from ..utils import hbm as hbm_budget
 
@@ -237,7 +254,7 @@ class LigeroEncoding(LcEncoding):
         if sub == r:
             return ntt_mxu(padded)
         xs = jnp.transpose(
-            padded.reshape(w, r // sub, sub, self.n_cols), (1, 0, 2, 3)
+            padded.reshape(w, r // sub, sub, self._ntt_in), (1, 0, 2, 3)
         )
         out = jax.lax.map(ntt_mxu, xs)
         return jnp.transpose(out, (1, 0, 2, 3)).reshape(w, r, self.n_cols)

@@ -41,11 +41,23 @@ def _digits7(value: int, count: int) -> np.ndarray:
     return np.array([(value >> (7 * i)) & 0x7F for i in range(count)], dtype=np.int8)
 
 
-def _pick_ab(n: int) -> tuple[int, int]:
-    """Split n = A*B with A, B powers of two, as balanced as possible."""
-    log = n.bit_length() - 1
-    a = 1 << (log // 2 + log % 2)
-    return a, n // a
+def _pick_ab(n: int, in_len: "int | None" = None) -> tuple[int, int]:
+    """Split n = A*B with A, B powers of two.
+
+    For the full NTT (in_len == n) the split is as balanced as possible.
+    For a ZERO-PADDED input of length in_len < n (the rate-1/m systematic
+    encode: only the first in_len of n inputs are nonzero) the real work is
+    the contraction pair (in_len/B, B), so B balances against in_len — the
+    step-1 kernel is then rectangular (see MxuNttPlan) and the conv MACs
+    drop by the expansion factor m = n/in_len.
+    """
+    if in_len is None or in_len >= n:
+        log = n.bit_length() - 1
+        a = 1 << (log // 2 + log % 2)
+        return a, n // a
+    log_in = in_len.bit_length() - 1
+    b = 1 << ((log_in + 1) // 2)
+    return n // b, b
 
 
 def conv_cap(spec: FieldSpec) -> int:
@@ -61,32 +73,60 @@ def conv_cap(spec: FieldSpec) -> int:
     return 1 << (cap.bit_length() - 1)
 
 
-def mxu_supported(spec: FieldSpec, n: int) -> bool:
+def mxu_supported(spec: FieldSpec, n: int, in_len: "int | None" = None) -> bool:
     """True if the single-level 4-step contraction covers size n for this
-    field (A <= conv_cap); callers fall back to the VPU ladder beyond it."""
-    return n >= 4 and _pick_ab(n)[0] <= conv_cap(spec)
+    field (contraction lengths <= conv_cap); callers fall back to the VPU
+    ladder beyond it.  With in_len < n (zero-padded encode) the bound is on
+    the REAL contraction pair, so the cap extends by the expansion factor:
+    ft255 full NTT caps at 2^22 but a rate-1/4 encode caps at 2^24."""
+    if n < 4:
+        return False
+    a, b = _pick_ab(n, in_len)
+    a_nz = a if in_len is None or in_len >= n else in_len // b
+    if in_len is not None and in_len < n and (a_nz == 0 or in_len % b):
+        return False
+    return max(a_nz, b) <= conv_cap(spec)
 
 
 class MxuNttPlan:
-    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None):
+    """4-step plan for an n-point NTT, optionally with a zero-padded input.
+
+    in_len < n declares that only the first in_len inputs are nonzero (the
+    systematic rate-1/m row encode: coefficients occupy the low n_per_row
+    slots, lcpc-ligero-pc/src/lib.rs:162-164).  Index jA*B + jB is nonzero
+    iff jA < in_len/B, so step 1's kernel drops to a RECTANGULAR
+    (in_len/B, A) Vandermonde slice — the conv contracts over in_len/B
+    instead of A, cutting the dominant MXU cost by m = n/in_len and
+    skipping the padded-input materialization entirely.  Twiddles, step 3,
+    and the output ordering are exactly the full plan's, so results are
+    bit-identical to padding + full NTT (twin-tested).
+    """
+
+    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None,
+                 in_len: "int | None" = None):
         assert n & (n - 1) == 0 and n >= 4
         self.spec = spec
         self.n = n
+        self.in_len = in_len = n if in_len is None else in_len
+        assert in_len & (in_len - 1) == 0 and in_len <= n, in_len
         if a is None:
-            self.a, self.b = _pick_ab(n)
+            self.a, self.b = _pick_ab(n, in_len)
         else:
             assert n % a == 0, (n, a)
             self.a, self.b = a, n // a
-        assert max(self.a, self.b) <= conv_cap(spec), \
+        assert in_len % self.b == 0, (in_len, self.b)
+        self.a_nz = in_len // self.b                # nonzero input channels
+        assert max(self.a_nz, self.b) <= conv_cap(spec), \
             "contraction exceeds the int32 conv accumulator bound"
         self.ops = get_ops(spec)
         p = spec.p
 
         self.w7 = (spec.num_bits + 6) // 7          # digits per element
-        # extended reduction radix: need A * p^2 / 2^(7*W7r) < p so one
-        # conditional subtract suffices after accumulating A products
-        # (sized for the longer of the two contractions)
-        need_bits = spec.num_bits + (max(self.a, self.b).bit_length() - 1) + 1
+        # extended reduction radix: need A_contract * p^2 / 2^(7*W7r) < p so
+        # one conditional subtract suffices after accumulating the products
+        # (sized for the longer of the two real contractions)
+        contract = max(self.a_nz, self.b)
+        need_bits = spec.num_bits + (contract.bit_length() - 1) + 1
         self.w7r = max(self.w7 + 1, (need_bits + 6) // 7)
         r7 = 1 << (7 * self.w7r)
         self.n0inv7 = (-pow(p, -1, r7)) % r7        # -p^-1 mod 2^(7*W7r)
@@ -100,8 +140,9 @@ class MxuNttPlan:
         rev_a = bit_reverse_indices(self.a)
         rev_b = bit_reverse_indices(self.b)
 
-        # step1 kernel: K[u, jA] = w_a^(rev_a(u)*jA) * kscale, as int8 digits
-        self.k1 = self._dft_kernel(w_a, self.a, rev_a)
+        # step1 kernel: K[u, jA] = w_a^(rev_a(u)*jA) * kscale, as int8
+        # digits; zero-padded inputs keep only the first a_nz input rows
+        self.k1 = self._dft_kernel(w_a, self.a, rev_a, n_in=self.a_nz)
         # step3 kernel over jB
         self.k2 = self._dft_kernel(w_b, self.b, rev_b)
         # twiddles tw[u, jB] = w_n^(rev_a(u)*jB) in standard Montgomery form
@@ -140,30 +181,33 @@ class MxuNttPlan:
         self.toep_p = m2
         self.p7 = p7
 
-    def _dft_kernel(self, w_root: int, size: int, rev: np.ndarray) -> np.ndarray:
-        """(W7, size_in, size_out) int8 digit kernel, spatial axis flipped so
-        conv's correlation computes the digit convolution."""
+    def _dft_kernel(self, w_root: int, size: int, rev: np.ndarray,
+                    n_in: "int | None" = None) -> np.ndarray:
+        """(W7, n_in, size_out) int8 digit kernel, spatial axis flipped so
+        conv's correlation computes the digit convolution.  n_in < size
+        emits only the first n_in input columns (zero-padded encode)."""
         p = self.spec.p
+        n_in = size if n_in is None else n_in
         nbytes = (7 * self.w7 + 7) // 8 + 1
-        buf = bytearray(size * size * nbytes)
+        buf = bytearray(size * n_in * nbytes)
         pos = 0
         for u in range(size):
             w_row = pow(w_root, int(rev[u]), p)
             entry = self.kscale % p
-            for _ in range(size):
+            for _ in range(n_in):
                 buf[pos : pos + nbytes] = entry.to_bytes(nbytes, "little")
                 pos += nbytes
                 entry = (entry * w_row) % p
-        raw = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(size, size, nbytes)
+        raw = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(size, n_in, nbytes)
         # extract 7-bit digits from the little-endian byte representation
-        k = np.zeros((self.w7, size, size), dtype=np.int8)
+        k = np.zeros((self.w7, size, n_in), dtype=np.int8)
         for d in range(self.w7):
             bitpos = 7 * d
             byte, sh = divmod(bitpos, 8)
             lo = raw[:, :, byte].astype(np.uint16)
             hi = raw[:, :, byte + 1].astype(np.uint16) if byte + 1 < nbytes else 0
             k[d] = (((lo | (hi << 8)) >> sh) & 0x7F).astype(np.int8)
-        # k[d, u_row, j]? build as (W7, j_in, u_out): currently k[d, u, j]
+        # k[d, u_row, j_in] -> (W7, j_in, u_out)
         k = np.swapaxes(k, 1, 2)
         # flip spatial so that out[o] = sum_{dv+du=o} x_dv * k_du
         return np.ascontiguousarray(k[::-1])
@@ -266,10 +310,17 @@ def _matmul_toep(digits: jnp.ndarray, toep: np.ndarray) -> jnp.ndarray:
 
 
 class MxuNtt:
-    """Drop-in MXU NTT (same semantics as BatchedNtt: fft_io ordering)."""
+    """Drop-in MXU NTT (same semantics as BatchedNtt: fft_io ordering).
 
-    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None):
-        self.plan = MxuNttPlan(spec, n, a)
+    With in_len < n the input is the UNPADDED (W, rows, in_len) coefficient
+    block and the output is the full (W, rows, n) codeword — identical bytes
+    to padding + full NTT, at 1/m of the step-1 conv cost.
+    """
+
+    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None,
+                 in_len: "int | None" = None):
+        self.plan = MxuNttPlan(spec, n, a, in_len=in_len)
+        self.in_len = self.plan.in_len
         self.ops = self.plan.ops
         # the big tables travel as jit ARGUMENTS (device-resident), not
         # closed-over constants: closure constants are re-lowered per process
@@ -323,16 +374,17 @@ class MxuNtt:
         return jnp.stack(outs, axis=0)                     # (W7, ...) u8
 
     def _forward(self, x: jnp.ndarray, k1, k2, tw) -> jnp.ndarray:
-        """(W16, rows, n) Montgomery -> (W16, rows, n) fft_io output."""
+        """(W16, rows, in_len) Montgomery -> (W16, rows, n) fft_io output."""
         plan = self.plan
         ops = self.ops
         a, b, w7 = plan.a, plan.b, plan.w7
-        w16, rows, n = x.shape
+        a_nz = plan.a_nz
+        w16, rows, n_in = x.shape
 
-        # -- step 1: DFT_A over the jA axis ---------------------------------
-        x7 = _to7(x, w7)                          # (W7, rows, n)
-        x7 = x7.reshape(w7, rows, a, b)
-        x7 = jnp.swapaxes(x7, 2, 3).reshape(w7, rows * b, a)
+        # -- step 1: DFT_A over the jA axis (a_nz nonzero input channels) ---
+        x7 = _to7(x, w7)                          # (W7, rows, in_len)
+        x7 = x7.reshape(w7, rows, a_nz, b)
+        x7 = jnp.swapaxes(x7, 2, 3).reshape(w7, rows * b, a_nz)
         planes = _conv_digits(x7, k1)             # (2W7-1, rows*b, a)
         y7 = self._reduce(planes)                 # (W7, rows*b, a) digits
 
@@ -349,13 +401,13 @@ class MxuNtt:
 
         # -- assemble: out[row, u*B + v] ------------------------------------
         o16 = _from7(o7, w16)                     # (W16, rows*a, b)
-        return o16.reshape(w16, rows, n)
+        return o16.reshape(w16, rows, plan.n)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        assert x.shape[-1] == self.plan.n
+        assert x.shape[-1] == self.plan.in_len
         return self._fn(x, self._k1, self._k2, self._tw)
 
 
 @functools.lru_cache(maxsize=None)
-def get_mxu_ntt(spec: FieldSpec, n: int) -> MxuNtt:
-    return MxuNtt(spec, n)
+def get_mxu_ntt(spec: FieldSpec, n: int, in_len: "int | None" = None) -> MxuNtt:
+    return MxuNtt(spec, n, in_len=in_len)

@@ -114,3 +114,26 @@ def test_stream_mxu_lowmem_encode_matches_ladder(monkeypatch):
     monkeypatch.setenv("LCPC_STREAM_MXU", "0")    # ladder twin
     want = enc.encode_rows_lowmem(jnp.asarray(x))
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mxu_zero_padded_input_plan():
+    # the rate-1/m encode plan (in_len < n: rectangular step-1 kernel over
+    # the nonzero channels only) must be bit-identical to pad + full NTT
+    from lcpc_tpu.ops.mxu_ntt import MxuNtt, mxu_supported
+
+    rng = random.Random(11)
+    for spec, n, in_len in [(FT63, 256, 64), (FT63, 512, 256),
+                            (FT255, 128, 32)]:
+        ops = get_ops(spec)
+        rows = [[rng.randrange(spec.p) for _ in range(in_len)]
+                for _ in range(3)]
+        x = np.stack([ops.encode_host(r) for r in rows], axis=1)
+        padded = np.pad(x, [(0, 0), (0, 0), (0, n - in_len)])
+        want = np.asarray(MxuNtt(spec, n)(np.asarray(padded)))
+        got = np.asarray(MxuNtt(spec, n, in_len=in_len)(np.asarray(x)))
+        assert np.array_equal(got, want), (spec.name, n, in_len)
+        assert mxu_supported(spec, n, in_len)
+    # the rectangular plan extends the cap by the expansion factor
+    assert mxu_supported(FT255, 1 << 23, 1 << 21)
+    assert mxu_supported(FT255, 1 << 24, 1 << 22)
+    assert not mxu_supported(FT255, 1 << 23)

@@ -135,3 +135,103 @@ def test_streaming_packed_coeffs(keep, monkeypatch):
     for i, c in enumerate(coeffs):
         want = (want + c * pow(x, i, spec.p)) % spec.p
     assert got == want
+
+
+def test_seeded_source_deterministic_and_e2e():
+    """SeededCoeffSource: block values are a pure function of (seed, index)
+    regardless of partitioning, and the beyond-HBM pipeline (seeded commit,
+    spill='none', prove-by-regeneration) produces the same proof as an
+    in-memory commit over the materialized coefficients."""
+    from lcpc_tpu.core.coeffs import SeededCoeffSource
+    from lcpc_tpu.ops.limbs import get_ops
+
+    spec = FT63
+    ops = get_ops(spec)
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 700  # 700 rows
+    # materialized twin (chunk smaller than a row to force chunk stitching)
+    src_a = SeededCoeffSource(spec, length, seed=5, chunk=1 << 10)
+    src_b = SeededCoeffSource(spec, length, seed=5, chunk=1 << 10)
+    arr = np.asarray(src_a.materialize())
+
+    src_b.set_dims(700, 64)
+    blk = np.asarray(src_b.block(3, 17))  # unaligned row range
+    want = arr.reshape(ops.w, 700, 64)[:, 3:17, :]
+    assert np.array_equal(blk, want)
+
+    mem = protocol.commit(arr[:, :length], enc)
+    src_c = SeededCoeffSource(spec, length, seed=5, chunk=1 << 10)
+    stream = streaming.commit_streaming(src_c, enc, row_block=256,
+                                        spill="none")
+    assert stream.words_dev is None and stream.words_host is None
+    assert stream.coeffs is None
+    assert stream.get_root() == mem.get_root()
+
+    x = random.Random(3).randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, mem.n_per_row, mem.n_rows)
+    pf_mem = mem.prove(outer, _preamble(enc, mem.get_root()))
+    pf_st = stream.prove(outer, _preamble(enc, stream.get_root()))
+    assert pf_st.p_eval == pf_mem.p_eval
+    for a, b in zip(pf_st.columns, pf_mem.columns):
+        assert np.array_equal(a.col_mont, b.col_mont)
+        assert a.path == b.path
+    got = pf_st.verify(
+        stream.get_root(), outer, inner, enc, _preamble(enc, stream.get_root())
+    )
+    assert got == pf_mem.verify(
+        mem.get_root(), outer, inner, enc, _preamble(enc, mem.get_root())
+    )
+
+
+def test_seeded_source_padding_tail():
+    """A non-multiple length zero-pads the final rows exactly like the
+    in-memory pad (lib.rs:640-645)."""
+    from lcpc_tpu.core.coeffs import SeededCoeffSource
+
+    spec = FT63
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 300 - 29
+    src = SeededCoeffSource(spec, length, seed=9, chunk=1 << 10)
+    arr = np.asarray(SeededCoeffSource(spec, length, seed=9,
+                                       chunk=1 << 10).materialize())
+    mem = protocol.commit(arr[:, :length], enc)
+    stream = streaming.commit_streaming(src, enc, row_block=128)
+    assert stream.get_root() == mem.get_root()
+
+
+def test_host_source_and_host_spill():
+    """HostCoeffSource + spill='host': coefficients live in host RAM and the
+    codeword spills back per block; prove gathers columns from the host copy
+    and the proof is bit-identical to the device-resident path."""
+    from lcpc_tpu.ops.limbs import get_ops
+
+    spec = FT63
+    ops = get_ops(spec)
+    rng = random.Random(31)
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 700 - 13
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+    arr = ops.encode_host(coeffs)  # numpy -> HostCoeffSource
+
+    mem = protocol.commit(coeffs, enc)
+    stream = streaming.commit_streaming(arr, enc, row_block=128, spill="host")
+    assert stream.words_dev is None and stream.words_host is not None
+    assert stream.get_root() == mem.get_root()
+    assert np.array_equal(stream.hashes, mem.hashes)
+
+    x = rng.randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, mem.n_per_row, mem.n_rows)
+    pf_mem = mem.prove(outer, _preamble(enc, mem.get_root()))
+    pf_st = stream.prove(outer, _preamble(enc, stream.get_root()))
+    assert pf_st.p_eval == pf_mem.p_eval
+    assert pf_st.p_random_vec == pf_mem.p_random_vec
+    for a, b in zip(pf_st.columns, pf_mem.columns):
+        assert np.array_equal(a.col_mont, b.col_mont)
+        assert a.path == b.path
+    got = pf_st.verify(
+        stream.get_root(), outer, inner, enc, _preamble(enc, stream.get_root())
+    )
+    want = 0
+    for i, c in enumerate(coeffs):
+        want = (want + c * pow(x, i, spec.p)) % spec.p
+    assert got == want
