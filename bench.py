@@ -26,7 +26,14 @@ BASELINE_64C = {13: 0.0149, 15: 0.0314, 17: 0.0949, 19: 0.245, 21: 0.646,
                 23: 1.92, 25: 5.73, 27: 21.6, 29: 94.6}
 # reference 64-core prove/verify (seconds), same files (_pvs)
 BASELINE_PVS = {21: (0.0187, 0.0273), 23: (0.0735, 0.0447),
-                25: (0.140, 0.0752), 27: (0.421, 0.136)}
+                25: (0.140, 0.0752), 27: (0.421, 0.136), 29: (1.513, 0.278)}
+# reference 64-core Brakedown (SDIG Code3) commit times
+# (20210807_64c_255bit_sdig.txt) and prove/verify (_pvs)
+BASELINE_SDIG_64C = {13: 0.0118, 15: 0.0161, 17: 0.0243, 19: 0.0747,
+                     21: 0.234, 23: 0.835, 25: 2.243, 27: 10.69, 29: 38.8}
+BASELINE_SDIG_PVS = {19: (0.067, 0.120), 21: (0.105, 0.270),
+                     23: (0.189, 0.558), 25: (0.281, 0.551),
+                     27: (0.931, 2.371), 29: (2.047, 2.401)}
 
 
 def log(msg):
@@ -61,21 +68,27 @@ def _bench(logn):
 
     from lcpc_tpu.fields import FIELDS_BY_NAME
     from lcpc_tpu.encodings.ligero import LigeroEncoding
+    from lcpc_tpu.encodings.brakedown import SdigEncoding
     from lcpc_tpu.core import protocol, streaming
     from lcpc_tpu.ops.limbs import get_ops
 
     field = os.environ.get("LCPC_BENCH_FIELD", "ft255")
-    stream_from = int(os.environ.get("LCPC_BENCH_STREAM_FROM", "23"))
+    enc_name = os.environ.get("LCPC_BENCH_ENC", "ligero")
+    stream_default = "23" if enc_name == "ligero" else "26"
+    stream_from = int(os.environ.get("LCPC_BENCH_STREAM_FROM", stream_default))
     spec = FIELDS_BY_NAME[field]
     ops = get_ops(spec)
     n = 1 << logn
 
     dev = jax.devices()[0]
     use_streaming = logn >= stream_from
-    log(f"device: {dev}; field={field}; N=2^{logn}; rho=1/4; "
+    log(f"device: {dev}; enc={enc_name}; field={field}; N=2^{logn}; "
         f"path={'streaming' if use_streaming else 'plain'}")
 
-    enc = LigeroEncoding.new(spec, n, rho_num=1, rho_den=4)
+    if enc_name == "ligero":
+        enc = LigeroEncoding.new(spec, n, rho_num=1, rho_den=4)
+    else:
+        enc = SdigEncoding.new(spec, n, seed=0)
     n_rows, n_per_row, n_cols = enc.get_dims(n)
     log(f"dims: {n_rows} x {n_per_row} -> {n_cols}")
 
@@ -122,7 +135,8 @@ def _bench(logn):
         tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
         return comm.prove(outer, tr)
 
-    base_pvs = BASELINE_PVS.get(logn)
+    base_pvs = (BASELINE_PVS if enc_name == "ligero"
+                else BASELINE_SDIG_PVS).get(logn)
     t0 = time.time()
     pf = run_prove()
     log(f"prove compile+1st: {time.time() - t0:.3f}s")
@@ -156,10 +170,14 @@ def _bench(logn):
     blob = wire.serialize_proof(spec, pf)
     log(f"proof size: {len(blob)} bytes (serialize {time.time() - t0:.2f}s)")
 
-    baseline = BASELINE_64C.get(logn)
+    baseline = (BASELINE_64C if enc_name == "ligero"
+                else BASELINE_SDIG_64C).get(logn)
     vs = (baseline / commit_s) if baseline else None
+    metric = (f"ligero_{field}_rho1-4_commit_2^{logn}"
+              if enc_name == "ligero"
+              else f"sdig_{field}_commit_2^{logn}")
     return {
-        "metric": f"ligero_{field}_rho1-4_commit_2^{logn}",
+        "metric": metric,
         "value": round(commit_s, 4),
         "unit": "s",
         "vs_baseline": round(vs, 3) if vs else None,
