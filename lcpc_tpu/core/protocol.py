@@ -35,6 +35,7 @@ from ..fs.sampling import field_random_vec, uniform_indices
 from ..ops import blake3_jax
 from ..ops.digest import BLAKE3, DeviceDigest
 from ..ops.limbs import get_ops
+from ..utils import linktime
 from .encoding import LcEncoding
 
 ZERO_DIGEST = bytes(32)  # Output::<D>::default() used for padding (lib.rs:665)
@@ -488,7 +489,7 @@ def _open_columns(comm: LcCommit, cols: list[int]) -> BatchedColumns:
     packed, path_digs = _gather_open(
         comm.comm, comm.hashes_dev, col_idx, jnp.asarray(uniq.astype(np.int32))
     )
-    packed, path_digs = jax.device_get((packed, path_digs))
+    packed, path_digs = linktime.pull_tree((packed, path_digs))
     return _columns_from_parts(
         np.asarray(packed), np.asarray(path_digs), inv,
         len(cols), path_idx.shape[1],
@@ -557,7 +558,7 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     ops = get_ops(enc.spec)
 
     def collapse_words_fn(ts: np.ndarray) -> np.ndarray:
-        return np.asarray(ops.collapse_words(jnp.asarray(ts), comm.coeffs))
+        return linktime.pull(ops.collapse_words(linktime.push(ts), comm.coeffs))
 
     return prove_core(
         enc, tr, comm.n_rows, comm.n_cols, outer_tensor,
@@ -779,11 +780,11 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     bits = ((col_bits[None, :] >> np.arange(path_len)[:, None]) & 1).astype(bool)
     root_w = np.frombuffer(root, dtype="<u4").astype(np.uint32)
 
-    enc_rows = _rows_encode_fn(enc)(jnp.asarray(rows_w))  # async dispatch
-    flags = np.asarray(
+    enc_rows = _rows_encode_fn(enc)(linktime.push(rows_w))  # async dispatch
+    flags = linktime.pull(
         _verify_core_fn(ops, digest)(
-            enc_rows, jnp.asarray(ts), jnp.asarray(col_w),
-            jnp.asarray(idx), jnp.asarray(uniq_sibs), jnp.asarray(inv),
+            enc_rows, linktime.push(ts), linktime.push(col_w),
+            jnp.asarray(idx), linktime.push(uniq_sibs), jnp.asarray(inv),
             jnp.asarray(bits), jnp.asarray(root_w),
         )
     )

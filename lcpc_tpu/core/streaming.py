@@ -32,6 +32,7 @@ from ..fs.sampling import field_random_vec, uniform_indices
 from ..ops import blake3_jax, sha256_jax
 from ..ops.digest import BLAKE3, DeviceDigest
 from ..ops.limbs import get_ops
+from ..utils import linktime
 from .encoding import LcEncoding
 from . import protocol
 from .protocol import (
@@ -510,7 +511,10 @@ def _row_block_for(spec, n_rows: int, n_cols: int,
     align = 256 // np.gcd(256, wpe)  # rows per 256-word boundary
     if rb >= align:
         return (rb // align) * align
-    return 1 << max(5, rb.bit_length() - 1)
+    # sub-alignment fallback: largest power of two NOT exceeding the budget
+    # (rounding up here once OOMed a 2^29-scale commit), floor 8 rows so the
+    # carry-buffer shape set stays small
+    return 1 << max(3, rb.bit_length() - 1)
 
 
 def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
@@ -682,35 +686,35 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         else:
             ts = t[:, None, :]
         if comm.coeffs is not None and not comm.packed:
-            words = np.asarray(
-                ops.collapse_words(jnp.asarray(ts), comm.coeffs)
+            words = linktime.pull(
+                ops.collapse_words(linktime.push(ts), comm.coeffs)
             )
         elif comm.coeffs is not None:
             # per-block collapse with modular accumulation: each block's
             # partial is canonical (< p), so ops.add combines them exactly;
             # only one block's unpacked limbs are ever transient
             blk, acc_add, pack_tc = _collapse_packed_fns(ops)
-            ts_dev = jnp.asarray(ts)
+            ts_dev = linktime.push(ts)
             acc = None
             rb_c = comm.row_block
             for r0 in range(0, comm.n_rows, rb_c):
                 r1 = min(r0 + rb_c, comm.n_rows)
                 part = blk(ts_dev[:, :, r0:r1], comm.coeffs[:, r0:r1, :])
                 acc = part if acc is None else acc_add(acc, part)
-            words = np.asarray(pack_tc(acc))
+            words = linktime.pull(pack_tc(acc))
         else:
             # CoeffSource path (host-resident or seeded): same blocked
             # accumulation over regenerated/uploaded unpacked blocks.
             # collapse_canon wants (W, R, C); a block arrives (W, m, npr).
             blk, acc_add, pack_tc = _collapse_block_fns(ops)
-            ts_dev = jnp.asarray(ts)
+            ts_dev = linktime.push(ts)
             acc = None
             rb_c = comm.row_block
             for r0 in range(0, comm.n_rows, rb_c):
                 r1 = min(r0 + rb_c, comm.n_rows)
                 part = blk(ts_dev[:, :, r0:r1], comm.source.block(r0, r1))
                 acc = part if acc is None else acc_add(acc, part)
-            words = np.asarray(pack_tc(acc))
+            words = linktime.pull(pack_tc(acc))
         rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
         p_random_rows.append(rows)
@@ -736,13 +740,14 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
             comm.words_dev, comm.hashes_dev, idx,
             jnp.asarray(uniq.astype(np.int32)),
         )
-        col_w = np.asarray(col_w_dev)
+        col_w = linktime.pull(col_w_dev)
     elif comm.words_host is not None:
         path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
         cols_np = np.ascontiguousarray(
             comm.words_host[:, np.asarray(cols_to_open, dtype=np.int64)]
         )
-        col_w = np.asarray(_host_cols_to_proof_fn(ops)(jnp.asarray(cols_np)))
+        col_w = linktime.pull(_host_cols_to_proof_fn(ops)(
+            linktime.push(cols_np)))
         col_w = col_w.reshape(ops.w // 2, comm.n_rows, len(cols_to_open))
     else:
         path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
@@ -757,13 +762,13 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         rb = comm.row_block
         for r0 in range(0, comm.n_rows, rb):
             r1 = min(r0 + rb, comm.n_rows)
-            pieces.append(np.asarray(gather(get_block(r0, r1), idx)))
+            pieces.append(linktime.pull(gather(get_block(r0, r1), idx)))
         col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k) packed
 
     return LcEvalProof(
         n_cols=comm.n_cols, p_eval_rows=eval_rows, p_random_rows=p_random_rows,
         columns_batched=protocol._columns_from_parts(
-            col_w, np.asarray(path_digs), inv,
+            col_w, linktime.pull(path_digs), inv,
             len(cols_to_open), path_idx.shape[1],
         ),
     )

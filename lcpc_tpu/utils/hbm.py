@@ -68,11 +68,22 @@ def usable_hbm_bytes() -> int:
     return _probed_hbm
 
 
+# physical HBM by TPU device kind (GiB); usable fraction below covers the
+# runtime/framework reserve and transient fragmentation, calibrated on the
+# v5e (usable ~10 of 16 GiB: a 12.4 GB peak OOMs, 8.6 GB fits)
+_TPU_HBM_GIB = (
+    ("v5 lite", 16), ("v5e", 16), ("v5p", 95), ("v6", 32), ("v4", 32),
+    ("v3", 32), ("v2", 16),
+)
+_USABLE_FRACTION = 0.625
+
+
 def _probe() -> int:
     import jax
 
     dev = jax.devices()[0]
-    # 1) backend-reported limit (TPU runtimes that support memory_stats)
+    # 1) backend-reported limit (runtimes that support memory_stats; the
+    #    axon/v5e tunnel returns None)
     try:
         stats = dev.memory_stats()
         if stats:
@@ -89,26 +100,15 @@ def _probe() -> int:
     #    block sizing behaves as on the real device without probing host RAM
     if dev.platform == "cpu":
         return 10 << 30
-    # 3) allocation ladder: find the largest grantable buffer.  Each try is
-    #    released before the next; failures are the backend's RESOURCE_EXHAUSTED.
-    import jax.numpy as jnp
-
-    granted = 0
-    for gb in (12, 11, 10, 9, 8, 6, 4, 2):
-        nbytes = gb << 30
-        try:
-            buf = jnp.zeros((nbytes // 4,), jnp.uint32)
-            buf.block_until_ready()
-            del buf
-            granted = nbytes
-            break
-        except Exception:
-            continue
-    if granted == 0:
-        raise RuntimeError(
-            "could not allocate even 2 GiB of device memory; set "
-            "LCPC_HBM_BYTES to the usable byte count explicitly"
-        )
-    # the ladder measures a single contiguous grant; keep ~15% headroom for
-    # fragmentation and runtime scratch
-    return int(granted * 0.85)
+    # 3) device-kind table.  (An allocation-ladder probe was tried and
+    #    rejected: on the axon backend a failed RESOURCE_EXHAUSTED grant
+    #    poisons subsequent allocations in the live process.)
+    kind = (getattr(dev, "device_kind", "") or "").lower()
+    for tag, gib in _TPU_HBM_GIB:
+        if tag in kind:
+            return int((gib << 30) * _USABLE_FRACTION)
+    raise RuntimeError(
+        f"unknown device kind {kind!r}: set LCPC_HBM_BYTES to the usable "
+        "device-memory byte count explicitly (physical HBM minus the "
+        "runtime reserve; ~62% of physical is a safe start)"
+    )

@@ -41,6 +41,17 @@ def main():
                     help="hold coefficients packed (W/2 u32 words, half the "
                          "resident bytes) for logn >= this; needs the "
                          "streaming path")
+    ap.add_argument("--seeded-from", type=int, default=29,
+                    help="for logn >= this, coefficients come from a "
+                         "SeededCoeffSource (regenerated on device per "
+                         "block, zero resident bytes) — the only way 2^29 "
+                         "ft255 fits a 16 GB chip; prove regenerates them "
+                         "for the collapse")
+    ap.add_argument("--row-block", type=int, default=None,
+                    help="override the auto row-block sizing (streaming)")
+    ap.add_argument("--spill", default="auto",
+                    choices=["auto", "device", "host", "none"],
+                    help="streaming codeword retention policy")
     args = ap.parse_args()
 
     from lcpc_tpu.utils.cache import enable_compilation_cache
@@ -70,7 +81,13 @@ def main():
         # reduced by to_mont; distribution irrelevant for timing) — a host
         # upload at 2^25 is ~2.4 GB through the tunnel
         key = jax.random.PRNGKey(args.seed)
-        if lgl >= args.packed_from:
+        if lgl >= args.seeded_from:
+            # beyond-HBM sizes: nothing resident, blocks regenerate from
+            # the seed inside commit/prove (core/coeffs.SeededCoeffSource)
+            from lcpc_tpu.core.coeffs import SeededCoeffSource
+
+            coeffs = SeededCoeffSource(spec, n, seed=args.seed)
+        elif lgl >= args.packed_from:
             # packed resident form: generate valid Montgomery elements by
             # chunks and pack limb pairs into u32 words (half the bytes; the
             # 2^27 ft255 limb form alone would be 8 GB)
@@ -95,7 +112,8 @@ def main():
                 key, (ops.w, n), dtype=jnp.uint32
             ) & jnp.uint32(0xFFFF)
             coeffs = ops.to_mont(raw)
-        jax.block_until_ready(coeffs)
+        if isinstance(coeffs, jnp.ndarray):  # sources have nothing resident
+            jax.block_until_ready(coeffs)
         if args.enc == "ligero":
             enc = LigeroEncoding.new(spec, n, rho_num=rn, rho_den=rd)
         else:
@@ -104,16 +122,18 @@ def main():
         stream_from = args.stream_from
         if stream_from is None:
             stream_from = 23 if args.enc == "ligero" else 26
-        # packed (W/2-word) coefficients are only understood by the
-        # streaming path; force the streaming threshold down rather than
-        # handing packed data to protocol.commit
-        stream_from = min(stream_from, args.packed_from)
+        # packed (W/2-word) and source-backed coefficients are only
+        # understood by the streaming path; force the threshold down rather
+        # than handing them to protocol.commit
+        stream_from = min(stream_from, args.packed_from, args.seeded_from)
         if lgl >= stream_from:
             from lcpc_tpu.core import streaming
 
             def do_commit():
                 # row block auto-sized from the HBM budget (streaming.py)
-                return streaming.commit_streaming(coeffs, enc)
+                return streaming.commit_streaming(
+                    coeffs, enc, row_block=args.row_block, spill=args.spill
+                )
         else:
 
             def do_commit():
@@ -150,22 +170,35 @@ def main():
 
             # median-of-3 (single-shot lines let one retrace/compile
             # contaminate the corpus — a 6x verify outlier at 2^17 did)
+            from lcpc_tpu.utils import linktime
+
             pf = com.prove(outer, preamble())  # warm-up
-            p_times = []
+            p_times, p_comp = [], []
             for _ in range(3):
                 t0 = time.time()
-                pf = com.prove(outer, preamble())
-                p_times.append(time.time() - t0)
+                with linktime.measure() as lm:
+                    pf = com.prove(outer, preamble())
+                wall = time.time() - t0
+                p_times.append(wall)
+                p_comp.append(wall - lm.ns * 1e-9)
             prove_ns = int(sorted(p_times)[1] * 1e9)
             blob = wire.serialize_proof(spec, pf)
             pf.verify(com.get_root(), outer, inner, enc, preamble())  # warm
-            v_times = []
+            v_times, v_comp = [], []
             for _ in range(3):
                 t0 = time.time()
-                pf.verify(com.get_root(), outer, inner, enc, preamble())
-                v_times.append(time.time() - t0)
+                with linktime.measure() as lm:
+                    pf.verify(com.get_root(), outer, inner, enc, preamble())
+                wall = time.time() - t0
+                v_times.append(wall)
+                v_comp.append(wall - lm.ns * 1e-9)
             verify_ns = int(sorted(v_times)[1] * 1e9)
             print(f"{lgl}: {prove_ns} {verify_ns} {len(blob)}", flush=True)
+            # compute-only twins: wall minus the measured host<->device
+            # transfer time (the ~30 MB/s tunnel's share; see
+            # benchmarks/README.md) — what a PCIe-attached host would see
+            print(f"#compute {lgl}: {int(sorted(p_comp)[1] * 1e9)} "
+                  f"{int(sorted(v_comp)[1] * 1e9)} {len(blob)}", flush=True)
 
 
 if __name__ == "__main__":
