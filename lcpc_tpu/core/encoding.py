@@ -59,16 +59,25 @@ class LcEncoding(abc.ABC):
         Input/output in Montgomery limb form (limb-major).
         """
 
-    def encode_rows_lowmem(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def encode_rows_lowmem(self, rows: jnp.ndarray, post=None,
+                           canonical: bool = False) -> jnp.ndarray:
         """encode_rows variant preferring minimal HBM transients.
 
         The streaming commit encodes by row blocks precisely because memory
         is the constraint there; encodings whose fastest kernel trades HBM
         for throughput (the MXU digit-conv NTT holds ~600 B/element of digit
         planes vs the VPU ladder's ~250 B) override this with the lean path.
-        Results must be bit-identical to encode_rows.
+        Results must be bit-identical to encode_rows.  `post` (optional)
+        transforms the encoded block to its consumer form as deep inside
+        the kernel as the encoding can push it (see LigeroEncoding).
+        `canonical=True` asks for canonical limbs instead of Montgomery.
         """
-        return self.encode_rows(rows)
+        out = self.encode_rows(rows)
+        if canonical:
+            from ..ops.limbs import get_ops
+
+            out = get_ops(self.spec).from_mont(out)
+        return post(out) if post is not None else out
 
     @abc.abstractmethod
     def encode_row_host(self, row: list[int]) -> list[int]:

@@ -501,8 +501,10 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
                ) -> LcEvalProof:
     """Fiat-Shamir choreography of prove (lib.rs:1004-1093), backend-agnostic.
 
-    collapse_words_fn: (W, T, n_rows) Montgomery np tensor stack ->
-        (T, n_per_row, W/2) canonical wire words (single- or multi-device).
+    collapse_words_fn: ((W, T, n_rows) Montgomery np tensor stack,
+        list of T plain-int tensors) -> (T, n_per_row, W/2) canonical wire
+        words (single- or multi-device; the int form feeds MXU kernels that
+        digitize host-side).
     open_columns_fn: list of column indices -> BatchedColumns.
     The FS order p_random(s) -> p_eval -> column indices is load-bearing.
     """
@@ -528,9 +530,11 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
         # final degree test's device call: one dispatch, one host pull
         if i == n_degree_tests_ - 1:
             ts = np.stack([t, outer_limbs], axis=1)  # (W, 2, R)
+            ts_ints = [rand_tensor, outer_tensor]
         else:
             ts = t[:, None, :]
-        words = collapse_words_fn(ts)  # (T, n_per_row, W/2) canonical words
+            ts_ints = [rand_tensor]
+        words = collapse_words_fn(ts, ts_ints)  # (T, npr, W/2) canonical words
         rows = _words_to_repr_rows(words[0])
         tr.append_elements(enc.LABEL_PR, rows)
         p_random_rows.append(rows)
@@ -556,9 +560,18 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
 def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
           tr: Transcript) -> LcEvalProof:
     ops = get_ops(enc.spec)
+    from ..ops import mxu_prove
 
-    def collapse_words_fn(ts: np.ndarray) -> np.ndarray:
-        return linktime.pull(ops.collapse_words(linktime.push(ts), comm.coeffs))
+    if mxu_prove.mxu_prove_enabled(enc.spec):
+        mc = mxu_prove.MxuCollapse(enc.spec, comm.n_rows)
+
+        def collapse_words_fn(ts: np.ndarray, ts_ints) -> np.ndarray:
+            return linktime.pull(mc(ts_ints, comm.coeffs))
+    else:
+        def collapse_words_fn(ts: np.ndarray, ts_ints) -> np.ndarray:
+            return linktime.pull(
+                ops.collapse_words(linktime.push(ts), comm.coeffs)
+            )
 
     return prove_core(
         enc, tr, comm.n_rows, comm.n_cols, outer_tensor,

@@ -80,7 +80,10 @@ def _update_fn(n_cols: int, buf_len: int, n_full: int):
         )
         return cv, chunk_cvs, new_buf
 
-    return jax.jit(fn)
+    # donate the carry state: chunk_cvs alone is 2.2 GB at 2^29 (65 chunk
+    # CVs x 2^20 columns), and without aliasing every update holds old+new
+    # copies — the difference between fitting and OOM at the largest sizes
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
 @functools.lru_cache(maxsize=64)
@@ -117,7 +120,7 @@ def _finalize_fn(n_cols: int, rem_words: int, chunks_done: int):
         cv, chunk_cvs = jax.lax.fori_loop(0, n_blocks, body, (cv, chunk_cvs))
         return chunk_cvs
 
-    return jax.jit(fin)
+    return jax.jit(fin, donate_argnums=(1,))
 
 
 # Per-encoding jit caches keyed WEAKLY on the encoding instance: encodings
@@ -138,9 +141,16 @@ def _prepare_encode_constants(enc: LcEncoding) -> None:
     if hasattr(enc, "_lowmem_ntt"):
         # the MXU streaming path's tables are device-resident at MxuNtt
         # construction; only build the VPU ladder's twiddles if it will run
-        if not (hasattr(enc, "_stream_mxu_ntt")
-                and enc._stream_mxu_ntt() is not None):
+        mx = enc._stream_mxu_ntt() if hasattr(enc, "_stream_mxu_ntt") else None
+        if mx is None:
             enc._lowmem_ntt()
+        else:
+            # the canonical-out variant the pack path uses must also build
+            # its (k2) table outside the trace
+            from ..ops.mxu_ntt import get_mxu_ntt_canonical
+
+            in_len = None if mx.in_len == enc.n_cols else mx.in_len
+            get_mxu_ntt_canonical(enc.spec, enc.n_cols, in_len)
 
 
 def _encode_pack_fn(enc: LcEncoding):
@@ -148,11 +158,13 @@ def _encode_pack_fn(enc: LcEncoding):
     if fn is None:
         ops = get_ops(enc.spec)
         _prepare_encode_constants(enc)
-        fn = jax.jit(
-            lambda block: _pack_words(
-                ops, ops.from_mont(enc.encode_rows_lowmem(block))
-            )
-        )
+        # pack runs as the encode's `post` so it fuses INSIDE any sub-chunk
+        # map (the unpacked codeword block never materializes — 2+ GB at
+        # 2^29 with 8-row blocks), and canonical=True folds the Montgomery
+        # R^-1 into the NTT kernel (no separate from_mont pass)
+        post = lambda out: _pack_words(ops, out)
+        fn = jax.jit(lambda block: enc.encode_rows_lowmem(
+            block, post=post, canonical=True))
         _encode_pack_cache[enc] = fn
     return fn
 
@@ -189,12 +201,10 @@ def _encode_pack_packed_fn(enc: LcEncoding):
     if fn is None:
         ops = get_ops(enc.spec)
         _prepare_encode_constants(enc)
+        post = lambda out: _pack_words(ops, out)
         fn = jax.jit(
-            lambda block: _pack_words(
-                ops,
-                ops.from_mont(
-                    enc.encode_rows_lowmem(protocol._unpack_words_dev(block))
-                ),
+            lambda block: enc.encode_rows_lowmem(
+                protocol._unpack_words_dev(block), post=post, canonical=True
             )
         )
         _encode_pack_packed_cache[enc] = fn
@@ -343,7 +353,7 @@ def _sha_update_fn(n_cols: int, buf_len: int, n_full: int):
         )
         return h, new_buf
 
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0, 1))
 
 
 @functools.lru_cache(maxsize=64)
@@ -665,10 +675,16 @@ def _host_cols_to_proof_fn(ops):
 
 def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
                     enc: LcEncoding, tr: Transcript) -> LcEvalProof:
+    from ..ops import mxu_prove
+
     spec = enc.spec
     ops = get_ops(spec)
     if len(outer_tensor) != comm.n_rows:
         raise ProverError("outer tensor: wrong size")
+
+    use_mxu = mxu_prove.mxu_prove_enabled(spec)
+    mc = (mxu_prove.MxuCollapse(spec, comm.n_rows, packed=comm.packed)
+          if use_mxu else None)
 
     # fused collapse: one device dispatch + one pull per FS round, with the
     # eval collapse riding the final degree test (see protocol.prove)
@@ -683,9 +699,21 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         t = ops.encode_host(rand_tensor)
         if i == n_degree_tests_ - 1:
             ts = np.stack([t, outer_limbs], axis=1)
+            ts_ints = [rand_tensor, outer_tensor]
         else:
             ts = t[:, None, :]
-        if comm.coeffs is not None and not comm.packed:
+            ts_ints = [rand_tensor]
+        if mc is not None and comm.coeffs is not None:
+            # MXU digit-conv collapse over the resident (possibly packed)
+            # coefficient matrix — contraction chunked to the conv cap
+            words = linktime.pull(mc(ts_ints, comm.coeffs))
+        elif mc is not None:
+            # CoeffSource path: same kernel, rows streamed per block
+            mc_src = mxu_prove.MxuCollapse(spec, comm.n_rows, packed=False)
+            words = linktime.pull(mc_src.collapse_source(
+                ts_ints, comm.source.block, comm.n_rows, comm.row_block
+            ))
+        elif comm.coeffs is not None and not comm.packed:
             words = linktime.pull(
                 ops.collapse_words(linktime.push(ts), comm.coeffs)
             )
@@ -751,18 +779,44 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         col_w = col_w.reshape(ops.w // 2, comm.n_rows, len(cols_to_open))
     else:
         path_digs = jnp.take(comm.hashes_dev, jnp.asarray(uniq), axis=1)
-        if comm.coeffs is not None:
-            gather = (_encode_gather_packed_fn(enc) if comm.packed
-                      else _encode_gather_fn(enc))
-            get_block = lambda r0, r1: comm.coeffs[:, r0:r1, :]
-        else:
-            gather = _encode_gather_fn(enc)
-            get_block = comm.source.block
+        # direct MXU column evaluation (RS codes): opened column c is the
+        # row polynomial at w^bitrev(c), so the k columns come from one
+        # digit-conv contraction per row block instead of re-encoding the
+        # whole codeword (a re-encode gather costs ~a full commit)
+        k = len(cols_to_open)
+        npr_pad = _next_pow2(comm.n_per_row)
+        v7_bytes = npr_pad * k * ((enc.spec.num_bits + 6) // 7)
+        use_eval = (
+            mxu_prove.mxu_prove_enabled(enc.spec)
+            and getattr(enc, "supports_direct_col_eval", False)
+            and v7_bytes <= (2 << 30)  # the on-device Vandermonde kernel
+        )
         pieces = []
         rb = comm.row_block
-        for r0 in range(0, comm.n_rows, rb):
-            r1 = min(r0 + rb, comm.n_rows)
-            pieces.append(linktime.pull(gather(get_block(r0, r1), idx)))
+        if use_eval:
+            if comm.coeffs is not None and comm.packed:
+                def get_block(r0, r1):
+                    return protocol._unpack_words_dev(comm.coeffs[:, r0:r1, :])
+            elif comm.coeffs is not None:
+                get_block = lambda r0, r1: comm.coeffs[:, r0:r1, :]
+            else:
+                get_block = comm.source.block
+            ev = mxu_prove.MxuColumnEval(enc)
+            ev.set_columns(cols_to_open)
+            for r0 in range(0, comm.n_rows, rb):
+                r1 = min(r0 + rb, comm.n_rows)
+                pieces.append(linktime.pull(ev.eval_block(get_block(r0, r1))))
+        else:
+            if comm.coeffs is not None:
+                gather = (_encode_gather_packed_fn(enc) if comm.packed
+                          else _encode_gather_fn(enc))
+                get_block = lambda r0, r1: comm.coeffs[:, r0:r1, :]
+            else:
+                gather = _encode_gather_fn(enc)
+                get_block = comm.source.block
+            for r0 in range(0, comm.n_rows, rb):
+                r1 = min(r0 + rb, comm.n_rows)
+                pieces.append(linktime.pull(gather(get_block(r0, r1), idx)))
         col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k) packed
 
     return LcEvalProof(

@@ -71,6 +71,11 @@ def _next_pow2(x: int) -> int:
 class LigeroEncoding(LcEncoding):
     """Rate-rho RS encoding (default rho = 1/2, like the Rust alias)."""
 
+    # codeword column c == row poly evaluated at w^bitrev(c): the prover can
+    # compute opened columns directly from coefficients (ops/mxu_prove.py)
+    # instead of re-encoding blocks when the codeword was not retained
+    supports_direct_col_eval = True
+
     def __init__(self, spec: FieldSpec, n_per_row: int, n_cols: int,
                  rho_num: int = 1, rho_den: int = 2):
         self.spec = spec
@@ -219,8 +224,20 @@ class LigeroEncoding(LcEncoding):
     # the two 16-limb intermediates
     _MXU_STREAM_BPE = 500
 
-    def encode_rows_lowmem(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def encode_rows_lowmem(self, rows: jnp.ndarray, post=None,
+                           canonical: bool = False) -> jnp.ndarray:
         """Bounded-transient encode for the streaming path.
+
+        `post` (optional) maps one encoded sub-chunk (W, sub, n_cols) to its
+        consumer form INSIDE the lax.map body — e.g. canonicalize+pack for
+        the streaming hasher — so the unpacked Montgomery codeword block
+        (2.1 GB at 2^29 with 8-row blocks) never materializes; without it
+        the map boundary forces the full block out before any fusion.
+
+        `canonical=True` emits CANONICAL limbs instead of Montgomery: on
+        the MXU path the R^-1 factor folds into the step-3 kernel for free
+        (get_mxu_ntt_canonical), deleting the from_mont modmul pass the
+        streaming hasher otherwise pays per codeword element.
 
         The MXU digit-conv NTT is ~40% faster than the VPU ladder but its
         int32 digit planes cost ~500 B/element — unaffordable for a whole
@@ -235,7 +252,15 @@ class LigeroEncoding(LcEncoding):
         ntt_mxu = self._stream_mxu_ntt()
         if ntt_mxu is None:
             padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
-            return self._lowmem_ntt()(padded)
+            out = self._lowmem_ntt()(padded)
+            if canonical:
+                out = self.ops.from_mont(out)
+            return post(out) if post is not None else out
+        if canonical:
+            from ..ops.mxu_ntt import get_mxu_ntt_canonical
+
+            in_len = None if self._ntt_in == self.n_cols else self._ntt_in
+            ntt_mxu = get_mxu_ntt_canonical(self.spec, self.n_cols, in_len)
         # MXU path: pad only to the plan's input length (n_per_row for the
         # zero-padded-input plan — no (w, r, n_cols) zero buffer at all)
         padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self._ntt_in - npr)])
@@ -252,10 +277,16 @@ class LigeroEncoding(LcEncoding):
         while r % sub:  # largest divisor of the block's row count
             sub -= 1
         if sub == r:
-            return ntt_mxu(padded)
+            out = ntt_mxu(padded)
+            return post(out) if post is not None else out
         xs = jnp.transpose(
             padded.reshape(w, r // sub, sub, self._ntt_in), (1, 0, 2, 3)
         )
+        if post is not None:
+            # consumer form per sub-chunk: nothing wider than one sub-chunk
+            # of unpacked codeword ever exists
+            out = jax.lax.map(lambda x: post(ntt_mxu(x)), xs)
+            return out.reshape(-1, *out.shape[2:])
         out = jax.lax.map(ntt_mxu, xs)
         return jnp.transpose(out, (1, 0, 2, 3)).reshape(w, r, self.n_cols)
 

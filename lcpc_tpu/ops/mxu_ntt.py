@@ -88,83 +88,32 @@ def mxu_supported(spec: FieldSpec, n: int, in_len: "int | None" = None) -> bool:
     return max(a_nz, b) <= conv_cap(spec)
 
 
-class MxuNttPlan:
-    """4-step plan for an n-point NTT, optionally with a zero-padded input.
+class ReducePlan:
+    """Separated base-2^7 Montgomery reduction for digit-conv accumulators.
 
-    in_len < n declares that only the first in_len inputs are nonzero (the
-    systematic rate-1/m row encode: coefficients occupy the low n_per_row
-    slots, lcpc-ligero-pc/src/lib.rs:162-164).  Index jA*B + jB is nonzero
-    iff jA < in_len/B, so step 1's kernel drops to a RECTANGULAR
-    (in_len/B, A) Vandermonde slice — the conv contracts over in_len/B
-    instead of A, cutting the dominant MXU cost by m = n/in_len and
-    skipping the padded-input materialization entirely.  Twiddles, step 3,
-    and the output ordering are exactly the full plan's, so results are
-    bit-identical to padding + full NTT (twin-tested).
+    Self-contained so every MXU modular-contraction kernel (the 4-step NTT
+    below, the prove-side collapse and column-evaluation kernels in
+    ops/mxu_prove.py) shares one implementation: given int32 digit planes
+    of a sum of <= `contract` products, `reduce` returns clean canonical-
+    range Montgomery digits.  The extended radix R7 = 2^(7*W7r) is sized so
+    a single conditional subtract suffices after the accumulation, and
+    matrix entries built with `kscale` (= R7 mod p) cancel the radix.
     """
 
-    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None,
-                 in_len: "int | None" = None):
-        assert n & (n - 1) == 0 and n >= 4
-        self.spec = spec
-        self.n = n
-        self.in_len = in_len = n if in_len is None else in_len
-        assert in_len & (in_len - 1) == 0 and in_len <= n, in_len
-        if a is None:
-            self.a, self.b = _pick_ab(n, in_len)
-        else:
-            assert n % a == 0, (n, a)
-            self.a, self.b = a, n // a
-        assert in_len % self.b == 0, (in_len, self.b)
-        self.a_nz = in_len // self.b                # nonzero input channels
-        assert max(self.a_nz, self.b) <= conv_cap(spec), \
+    def __init__(self, spec: FieldSpec, contract: int):
+        assert contract <= conv_cap(spec), \
             "contraction exceeds the int32 conv accumulator bound"
-        self.ops = get_ops(spec)
+        self.spec = spec
+        self.contract = contract
         p = spec.p
-
-        self.w7 = (spec.num_bits + 6) // 7          # digits per element
-        # extended reduction radix: need A_contract * p^2 / 2^(7*W7r) < p so
-        # one conditional subtract suffices after accumulating the products
-        # (sized for the longer of the two real contractions)
-        contract = max(self.a_nz, self.b)
+        self.w7 = w7 = (spec.num_bits + 6) // 7     # digits per element
         need_bits = spec.num_bits + (contract.bit_length() - 1) + 1
-        self.w7r = max(self.w7 + 1, (need_bits + 6) // 7)
-        r7 = 1 << (7 * self.w7r)
+        self.w7r = w7r = max(w7 + 1, (need_bits + 6) // 7)
+        r7 = 1 << (7 * w7r)
         self.n0inv7 = (-pow(p, -1, r7)) % r7        # -p^-1 mod 2^(7*W7r)
-        # matrix entries carry factor r7 so the reduction (divide by r7)
-        # preserves the standard Montgomery factor R of the inputs
         self.kscale = r7 % p
-
-        w_n = spec.root_for_log_len(n.bit_length() - 1)
-        w_a = pow(w_n, self.b, p)
-        w_b = pow(w_n, self.a, p)
-        rev_a = bit_reverse_indices(self.a)
-        rev_b = bit_reverse_indices(self.b)
-
-        # step1 kernel: K[u, jA] = w_a^(rev_a(u)*jA) * kscale, as int8
-        # digits; zero-padded inputs keep only the first a_nz input rows
-        self.k1 = self._dft_kernel(w_a, self.a, rev_a, n_in=self.a_nz)
-        # step3 kernel over jB
-        self.k2 = self._dft_kernel(w_b, self.b, rev_b)
-        # twiddles tw[u, jB] = w_n^(rev_a(u)*jB) in standard Montgomery form
-        rbytes = spec.repr_bytes
-        buf = bytearray(self.a * self.b * rbytes)
-        pos = 0
-        for u in range(self.a):
-            base = pow(w_n, int(rev_a[u]), p)
-            acc = spec.R % p
-            for _ in range(self.b):
-                buf[pos : pos + rbytes] = acc.to_bytes(rbytes, "little")
-                pos += rbytes
-                acc = (acc * base) % p
-        u16 = np.frombuffer(bytes(buf), dtype="<u2").reshape(
-            self.a, self.b, self.ops.w
-        )
-        self.tw = np.ascontiguousarray(np.moveaxis(u16, 2, 0)).astype(np.uint32)
-
-        # Toeplitz matrices for the separated base-2^7 Montgomery reduction
-        w7, w7r = self.w7, self.w7r
         n0d = _digits7(self.n0inv7, w7r)
-        # wide digit count: covers T < A*p^2 and S = T + m*p
+        # wide digit count: covers T < contract*p^2 and S = T + m*p
         self.lt = max(2 * w7 + 6, w7r + w7 + 2)
         # mullo: m[o] = sum_u T[u] * n0[o-u], o < w7r  -> (w7r, w7r)
         m1 = np.zeros((w7r, w7r), dtype=np.int8)
@@ -181,11 +130,147 @@ class MxuNttPlan:
         self.toep_p = m2
         self.p7 = p7
 
+    def reduce(self, planes: jnp.ndarray) -> jnp.ndarray:
+        """Digit planes (2W7-1, ...) int32 -> clean Montgomery digits (W7, ...).
+
+        Separated Montgomery reduction base 2^7 with radix 2^(7*W7r):
+        m = (T mod R7) * n0inv mod R7; S = T + m*p; out = S >> 7*W7r < 2p.
+        All arrays are digit-major (see _to7).
+        """
+        w7, w7r = self.w7, self.w7r
+        t = _carry7(planes, self.lt)                       # clean wide digits
+        m_planes = _matmul_toep(t[:w7r], self.toep_n0)
+        m = _carry7(m_planes, w7r)                         # m mod R7
+        mp = _matmul_toep(m, self.toep_p)                  # (w7r + w7, ...)
+        pad = self.lt - (w7r + w7)
+        mp_wide = jnp.pad(mp, [(0, pad)] + [(0, 0)] * (mp.ndim - 1))
+        s = t.astype(jnp.uint32) + mp_wide.astype(jnp.uint32)
+        s = _carry7(s, self.lt)
+        q = s[w7r : w7r + w7 + 1]                          # quotient digits (+top)
+        # conditional subtract p (digit-domain)
+        p7 = self.p7.astype(np.uint32)
+        ge = None
+        eq = None
+        for i in range(q.shape[0] - 1, -1, -1):
+            pi = jnp.uint32(int(p7[i]) if i < len(p7) else 0)
+            gti = q[i] > pi
+            eqi = q[i] == pi
+            if ge is None:
+                ge, eq = gti, eqi
+            else:
+                ge = ge | (eq & gti)
+                eq = eq & eqi
+        ge = ge | eq
+        outs = []
+        borrow = jnp.uint32(0)
+        for i in range(w7):
+            pi = jnp.uint32(int(p7[i]))
+            qi = q[i].astype(jnp.uint32)
+            d = qi - pi - borrow
+            sub = d & jnp.uint32(0x7F)
+            borrow = (d >> 31) & jnp.uint32(1)
+            outs.append(jnp.where(ge, sub, qi).astype(jnp.uint8))
+        return jnp.stack(outs, axis=0)                     # (W7, ...) u8
+
+
+class MxuNttPlan:
+    """4-step plan for an n-point NTT, optionally with a zero-padded input.
+
+    in_len < n declares that only the first in_len inputs are nonzero (the
+    systematic rate-1/m row encode: coefficients occupy the low n_per_row
+    slots, lcpc-ligero-pc/src/lib.rs:162-164).  Index jA*B + jB is nonzero
+    iff jA < in_len/B, so step 1's kernel drops to a RECTANGULAR
+    (in_len/B, A) Vandermonde slice — the conv contracts over in_len/B
+    instead of A, cutting the dominant MXU cost by m = n/in_len and
+    skipping the padded-input materialization entirely.  Twiddles, step 3,
+    and the output ordering are exactly the full plan's, so results are
+    bit-identical to padding + full NTT (twin-tested).
+    """
+
+    def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None,
+                 in_len: "int | None" = None, canonical_out: bool = False,
+                 share_from: "MxuNttPlan | None" = None):
+        assert n & (n - 1) == 0 and n >= 4
+        self.spec = spec
+        self.n = n
+        self.canonical_out = canonical_out
+        self.in_len = in_len = n if in_len is None else in_len
+        assert in_len & (in_len - 1) == 0 and in_len <= n, in_len
+        if a is None:
+            self.a, self.b = _pick_ab(n, in_len)
+        else:
+            assert n % a == 0, (n, a)
+            self.a, self.b = a, n // a
+        assert in_len % self.b == 0, (in_len, self.b)
+        self.a_nz = in_len // self.b                # nonzero input channels
+        assert max(self.a_nz, self.b) <= conv_cap(spec), \
+            "contraction exceeds the int32 conv accumulator bound"
+        self.ops = get_ops(spec)
+        p = spec.p
+
+        # reduction sized for the longer of the two real contractions;
+        # matrix entries carry factor r7 so the reduction (divide by r7)
+        # preserves the standard Montgomery factor R of the inputs
+        self.red = ReducePlan(spec, max(self.a_nz, self.b))
+        self.w7 = self.red.w7
+        self.w7r = self.red.w7r
+        self.n0inv7 = self.red.n0inv7
+        self.kscale = self.red.kscale
+
+        w_n = spec.root_for_log_len(n.bit_length() - 1)
+        w_a = pow(w_n, self.b, p)
+        w_b = pow(w_n, self.a, p)
+        rev_a = bit_reverse_indices(self.a)
+        rev_b = bit_reverse_indices(self.b)
+
+        if share_from is not None:
+            # canonical/Montgomery variants differ ONLY in k2's scalar
+            # factor — reuse the expensive k1/twiddle tables
+            assert (share_from.n, share_from.a, share_from.in_len) == \
+                (n, self.a, in_len)
+            self.k1 = share_from.k1
+            self.tw = share_from.tw
+        else:
+            # step1 kernel: K[u, jA] = w_a^(rev_a(u)*jA) * kscale, as int8
+            # digits; zero-padded inputs keep only the first a_nz input rows
+            self.k1 = self._dft_kernel(w_a, self.a, rev_a, n_in=self.a_nz)
+            # twiddles tw[u, jB] = w_n^(rev_a(u)*jB) in std Montgomery form
+            rbytes = spec.repr_bytes
+            buf = bytearray(self.a * self.b * rbytes)
+            pos = 0
+            for u in range(self.a):
+                base = pow(w_n, int(rev_a[u]), p)
+                acc = spec.R % p
+                for _ in range(self.b):
+                    buf[pos : pos + rbytes] = acc.to_bytes(rbytes, "little")
+                    pos += rbytes
+                    acc = (acc * base) % p
+            u16 = np.frombuffer(bytes(buf), dtype="<u2").reshape(
+                self.a, self.b, self.ops.w
+            )
+            self.tw = np.ascontiguousarray(
+                np.moveaxis(u16, 2, 0)
+            ).astype(np.uint32)
+        # step3 kernel over jB; canonical_out folds the Montgomery R^-1
+        # into its entries so the output arrives CANONICAL — the streaming
+        # commit hashes canonical bytes, and this deletes its whole
+        # from_mont pass (one modmul per codeword element)
+        extra = pow(spec.R % p, -1, p) if canonical_out else 1
+        self.k2 = self._dft_kernel(w_b, self.b, rev_b, extra_scale=extra)
+
+        # separated-reduction constants live on the shared ReducePlan
+        self.lt = self.red.lt
+        self.toep_n0 = self.red.toep_n0
+        self.toep_p = self.red.toep_p
+        self.p7 = self.red.p7
+
     def _dft_kernel(self, w_root: int, size: int, rev: np.ndarray,
-                    n_in: "int | None" = None) -> np.ndarray:
+                    n_in: "int | None" = None,
+                    extra_scale: int = 1) -> np.ndarray:
         """(W7, n_in, size_out) int8 digit kernel, spatial axis flipped so
         conv's correlation computes the digit convolution.  n_in < size
-        emits only the first n_in input columns (zero-padded encode)."""
+        emits only the first n_in input columns (zero-padded encode);
+        extra_scale multiplies every entry (e.g. R^-1 for canonical_out)."""
         p = self.spec.p
         n_in = size if n_in is None else n_in
         nbytes = (7 * self.w7 + 7) // 8 + 1
@@ -193,7 +278,7 @@ class MxuNttPlan:
         pos = 0
         for u in range(size):
             w_row = pow(w_root, int(rev[u]), p)
-            entry = self.kscale % p
+            entry = (self.kscale * extra_scale) % p
             for _ in range(n_in):
                 buf[pos : pos + nbytes] = entry.to_bytes(nbytes, "little")
                 pos += nbytes
@@ -318,9 +403,13 @@ class MxuNtt:
     """
 
     def __init__(self, spec: FieldSpec, n: int, a: "int | None" = None,
-                 in_len: "int | None" = None):
-        self.plan = MxuNttPlan(spec, n, a, in_len=in_len)
+                 in_len: "int | None" = None, canonical_out: bool = False,
+                 share_plan: "MxuNttPlan | None" = None):
+        self.plan = MxuNttPlan(spec, n, a, in_len=in_len,
+                               canonical_out=canonical_out,
+                               share_from=share_plan)
         self.in_len = self.plan.in_len
+        self.canonical_out = canonical_out
         self.ops = self.plan.ops
         # the big tables travel as jit ARGUMENTS (device-resident), not
         # closed-over constants: closure constants are re-lowered per process
@@ -331,47 +420,8 @@ class MxuNtt:
         self._fn = jax.jit(self._forward)
 
     def _reduce(self, planes: jnp.ndarray) -> jnp.ndarray:
-        """Digit planes (2W7-1, ...) int32 -> clean Montgomery digits (W7, ...).
-
-        Separated Montgomery reduction base 2^7 with radix 2^(7*W7r):
-        m = (T mod R7) * n0inv mod R7; S = T + m*p; out = S >> 7*W7r < 2p.
-        All arrays are digit-major (see _to7).
-        """
-        plan = self.plan
-        w7, w7r = plan.w7, plan.w7r
-        t = _carry7(planes, plan.lt)                       # clean wide digits
-        m_planes = _matmul_toep(t[:w7r], plan.toep_n0)
-        m = _carry7(m_planes, w7r)                         # m mod R7
-        mp = _matmul_toep(m, plan.toep_p)                  # (w7r + w7, ...)
-        pad = plan.lt - (w7r + w7)
-        mp_wide = jnp.pad(mp, [(0, pad)] + [(0, 0)] * (mp.ndim - 1))
-        s = t.astype(jnp.uint32) + mp_wide.astype(jnp.uint32)
-        s = _carry7(s, plan.lt)
-        q = s[w7r : w7r + w7 + 1]                          # quotient digits (+top)
-        # conditional subtract p (digit-domain)
-        p7 = plan.p7.astype(np.uint32)
-        ge = None
-        eq = None
-        for i in range(q.shape[0] - 1, -1, -1):
-            pi = jnp.uint32(int(p7[i]) if i < len(p7) else 0)
-            gti = q[i] > pi
-            eqi = q[i] == pi
-            if ge is None:
-                ge, eq = gti, eqi
-            else:
-                ge = ge | (eq & gti)
-                eq = eq & eqi
-        ge = ge | eq
-        outs = []
-        borrow = jnp.uint32(0)
-        for i in range(w7):
-            pi = jnp.uint32(int(p7[i]))
-            qi = q[i].astype(jnp.uint32)
-            d = qi - pi - borrow
-            sub = d & jnp.uint32(0x7F)
-            borrow = (d >> 31) & jnp.uint32(1)
-            outs.append(jnp.where(ge, sub, qi).astype(jnp.uint8))
-        return jnp.stack(outs, axis=0)                     # (W7, ...) u8
+        """Digit planes -> clean Montgomery digits (shared ReducePlan)."""
+        return self.plan.red.reduce(planes)
 
     def _forward(self, x: jnp.ndarray, k1, k2, tw) -> jnp.ndarray:
         """(W16, rows, in_len) Montgomery -> (W16, rows, n) fft_io output."""
@@ -411,3 +461,13 @@ class MxuNtt:
 @functools.lru_cache(maxsize=None)
 def get_mxu_ntt(spec: FieldSpec, n: int, in_len: "int | None" = None) -> MxuNtt:
     return MxuNtt(spec, n, in_len=in_len)
+
+
+@functools.lru_cache(maxsize=None)
+def get_mxu_ntt_canonical(spec: FieldSpec, n: int,
+                          in_len: "int | None" = None) -> MxuNtt:
+    """Canonical-output variant; shares k1/twiddle tables with the
+    Montgomery plan of the same shape."""
+    base = get_mxu_ntt(spec, n, in_len)
+    return MxuNtt(spec, n, in_len=in_len, canonical_out=True,
+                  share_plan=base.plan)

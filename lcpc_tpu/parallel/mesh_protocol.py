@@ -378,7 +378,7 @@ def sharded_prove(comm: ShardedCommit, outer_tensor: list[int],
     axis = mesh.axis_names[0]
     n_rows_pad = comm.coeffs.shape[1]
 
-    def collapse_words_fn(ts: np.ndarray) -> np.ndarray:
+    def collapse_words_fn(ts: np.ndarray, ts_ints=None) -> np.ndarray:
         w, t, r = ts.shape
         assert r == comm.n_rows
         if n_rows_pad > r:

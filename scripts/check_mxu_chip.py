@@ -71,6 +71,28 @@ def main():
         print(f"2^{logn}: equal={equal}  vpu={t_vpu:.3f}s mxu={t_mxu:.3f}s "
               f"(a={mxu.plan.a}, b={mxu.plan.b})", flush=True)
         assert equal, f"MXU/VPU mismatch at n=2^{logn}"
+
+        # zero-padded-input (rate-1/4) plan: rectangular step-1 kernel must
+        # match the full plan fed the padded block, on the real chip
+        in_len = n // 4
+        xs = x[:, :, :in_len]
+        rect = get_mxu_ntt(spec, n, in_len)
+        padded = jnp.pad(xs, [(0, 0), (0, 0), (0, n - in_len)])
+        ref_r = mxu(padded)
+        t0 = time.time()
+        got_r = rect(xs)
+        jax.block_until_ready(got_r)
+        log(f"2^{logn}: rect compile+run ({time.time()-t0:.1f}s)")
+        t0 = time.time()
+        got_r = rect(xs)
+        jax.block_until_ready(got_r)
+        t_rect = time.time() - t0
+        equal_r = bool(jax.jit(lambda a, b: jnp.all(a == b))(got_r, ref_r))
+        print(f"2^{logn} rect(in=2^{logn-2}): equal={equal_r} "
+              f"rect={t_rect:.3f}s vs full-mxu={t_mxu:.3f}s "
+              f"(a_nz={rect.plan.a_nz}, a={rect.plan.a}, b={rect.plan.b})",
+              flush=True)
+        assert equal_r, f"rect/full mismatch at n=2^{logn}"
     print("OK")
 
 

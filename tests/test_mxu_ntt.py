@@ -137,3 +137,23 @@ def test_mxu_zero_padded_input_plan():
     assert mxu_supported(FT255, 1 << 23, 1 << 21)
     assert mxu_supported(FT255, 1 << 24, 1 << 22)
     assert not mxu_supported(FT255, 1 << 23)
+
+
+def test_mxu_canonical_out_plan():
+    # canonical_out folds R^-1 into the step-3 kernel: output must equal
+    # from_mont of the Montgomery plan's output, bit for bit
+    import jax.numpy as jnp
+
+    from lcpc_tpu.ops.mxu_ntt import get_mxu_ntt, get_mxu_ntt_canonical
+
+    rng = random.Random(21)
+    for spec, n, in_len in [(FT63, 256, 64), (FT63, 128, None)]:
+        ops = get_ops(spec)
+        ln = in_len or n
+        x = np.stack(
+            [ops.encode_host([rng.randrange(spec.p) for _ in range(ln)])
+             for _ in range(2)], axis=1)
+        mont = np.asarray(get_mxu_ntt(spec, n, in_len)(jnp.asarray(x)))
+        canon = np.asarray(get_mxu_ntt_canonical(spec, n, in_len)(jnp.asarray(x)))
+        want = np.asarray(ops.from_mont(jnp.asarray(mont)))
+        assert np.array_equal(canon, want), (spec.name, n, in_len)
