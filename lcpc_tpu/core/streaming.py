@@ -123,6 +123,43 @@ def _finalize_fn(n_cols: int, rem_words: int, chunks_done: int):
     return jax.jit(fin, donate_argnums=(1,))
 
 
+@functools.lru_cache(maxsize=64)
+def _merge_fn(n_cols: int, n_chunks: int):
+    """Jitted pair-adjacent chunk-CV merge (blake3's tree shape).
+
+    One executable with the chunk-CV array DONATED: the eager per-level
+    version held the (n_chunks, 8, n_cols) array plus level transients live
+    simultaneously, which OOMed the 2^29 finalize (2.2 GB of chunk CVs).
+    """
+
+    def merge(cvs):
+        n = n_chunks
+        while n > 1:
+            pairs = n // 2
+            left = cvs[0 : 2 * pairs : 2]
+            right = cvs[1 : 2 * pairs : 2]
+            m = jnp.moveaxis(jnp.concatenate([left, right], axis=1), 1, 0)
+            cv = jnp.broadcast_to(
+                jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None, None],
+                (8, pairs, n_cols),
+            )
+            flags = blake3_jax.PARENT | (blake3_jax.ROOT if n == 2 else 0)
+            out = blake3_jax._compress_words(
+                cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
+                jnp.uint32(flags),
+            )
+            out = jnp.moveaxis(out, 1, 0)
+            if n % 2:
+                out = jnp.concatenate(
+                    [out, cvs[2 * pairs : 2 * pairs + 1]], axis=0
+                )
+            cvs = out
+            n = out.shape[0]
+        return cvs[0]
+
+    return jax.jit(merge, donate_argnums=(0,))
+
+
 # Per-encoding jit caches keyed WEAKLY on the encoding instance: encodings
 # are constructed per polynomial size, so a strong (lru_cache) key would pin
 # every encoding (plus its jitted executables and, for SdigEncoding, device
@@ -310,30 +347,10 @@ class StreamingColumnHasher:
         fin = _finalize_fn(self.n_cols, rem_words, self.chunks_done)
         chunk_cvs = fin(self.cv, self.chunk_cvs, self.buf)
         assert self.chunks_done + 1 == self.n_chunks
-
-        # merge chunk CVs (pair-adjacent == blake3's tree shape)
-        cvs = chunk_cvs
-        n = self.n_chunks
-        while n > 1:
-            pairs = n // 2
-            left = cvs[0 : 2 * pairs : 2]
-            right = cvs[1 : 2 * pairs : 2]
-            m = jnp.moveaxis(jnp.concatenate([left, right], axis=1), 1, 0)
-            cv = jnp.broadcast_to(
-                jnp.asarray(blake3_jax._IV, jnp.uint32)[:, None, None],
-                (8, pairs, self.n_cols),
-            )
-            flags = blake3_jax.PARENT | (blake3_jax.ROOT if n == 2 else 0)
-            out = blake3_jax._compress_words(
-                cv, m, jnp.uint32(0), jnp.uint32(0), jnp.uint32(64),
-                jnp.uint32(flags),
-            )
-            out = jnp.moveaxis(out, 1, 0)
-            if n % 2:
-                out = jnp.concatenate([out, cvs[2 * pairs : 2 * pairs + 1]], axis=0)
-            cvs = out
-            n = out.shape[0]
-        return cvs[0]
+        # the carry state is dead now; at 2^29 buf+cv hold >1 GB the merge
+        # transients need
+        self.cv = self.buf = self.chunk_cvs = None
+        return _merge_fn(self.n_cols, self.n_chunks)(chunk_cvs)
 
 
 @functools.lru_cache(maxsize=64)
@@ -610,6 +627,7 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
         donate_argnums=0,
     )
 
+    prev_words = None
     for r0 in range(0, n_rows, rb):
         r1 = min(r0 + rb, n_rows)
         words = encode_pack(get_block(r0, r1))
@@ -618,6 +636,13 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
             words_dev = write(words_dev, words, r0 * wpe)
         elif host_spill:
             words_host[r0 * wpe : r1 * wpe] = np.asarray(words)
+        # bound dispatch run-ahead to a two-block pipeline: without this the
+        # host queues many blocks of encode transients before the device
+        # retires any, and the aggregate live footprint OOMs at 2^29 even
+        # though each block alone fits comfortably
+        if prev_words is not None:
+            prev_words.block_until_ready()
+        prev_words = words
 
     leaves = hasher.finalize()  # (8, n_cols)
 

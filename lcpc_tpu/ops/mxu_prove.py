@@ -226,16 +226,16 @@ def _v7_build_fns(spec: FieldSpec, chunk: int):
     log_c = chunk.bit_length() - 1
 
     def powers(g_mont):
-        # P[m] = mont(g^m), m < chunk, by doubling: step scalars g^(2^t)
-        # are obtained by repeated squaring of g on device
+        # P[m] = mont(g^m), m < chunk, as a log-depth cumulative product:
+        # [1, g, g, ..., g] under associative_scan(mul).  (A doubling
+        # ladder built by concatenating growing slices compiled to an
+        # XLA:CPU executable that never terminated — associative_scan
+        # lowers to a shape-stable network.)
         k = g_mont.shape[-1]
-        pw = ops.const_elem(1, (1, k))                 # (W, 1, k)
-        step = g_mont                                   # g^(2^t)
-        for _ in range(log_c):
-            nxt = ops.mul(pw, jnp.broadcast_to(step[:, None, :], pw.shape))
-            pw = jnp.concatenate([pw, nxt], axis=1)
-            step = ops.mul(step, step)
-        return pw                                       # (W, chunk, k)
+        one = ops.const_elem(1, (1, k))                # (W, 1, k)
+        gb = jnp.broadcast_to(g_mont[:, None, :], (ops.w, chunk, k))
+        seq = jnp.concatenate([one, gb[:, : chunk - 1, :]], axis=1)
+        return jax.lax.associative_scan(ops.mul, seq, axis=1)
 
     def chunk_digits(pw, base_mont, r7_mont):
         # mont(g^(m + chunk*ci)) = P[m] * base; then plain*r7 digits
