@@ -146,6 +146,18 @@ def _gen_chunk_fn(spec: FieldSpec, chunk: int):
     return jax.jit(gen)
 
 
+@functools.lru_cache(maxsize=8)
+def _rbg_key(seed: int):
+    # the counter-based rbg generator is ~10x cheaper per word than the
+    # default threefry on TPU; regeneration cost shows up in every seeded
+    # commit AND prove, so this matters at 2^29 (coefficient regen was
+    # ~25 s of the commit with threefry)
+    try:
+        return jax.random.key(seed, impl="rbg")
+    except Exception:  # older jax without impl= support
+        return jax.random.PRNGKey(seed)
+
+
 class SeededCoeffSource(CoeffSource):
     """Deterministic device-generated coefficients, regenerated per block.
 
@@ -161,7 +173,7 @@ class SeededCoeffSource(CoeffSource):
                  chunk: int = 1 << 20):
         self.spec = spec
         self.length = length
-        self.key = jax.random.PRNGKey(seed)
+        self.key = _rbg_key(seed)
         self.chunk = chunk
 
     def block(self, r0: int, r1: int) -> jnp.ndarray:

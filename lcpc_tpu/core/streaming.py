@@ -828,9 +828,18 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
                 get_block = comm.source.block
             ev = mxu_prove.MxuColumnEval(enc)
             ev.set_columns(cols_to_open)
+            # accumulate per-block columns ON DEVICE and pull once: at 2^29
+            # the 256 tiny per-block pulls cost ~30 ms of link latency EACH
+            wpe2 = get_ops(spec).w // 2
+            buf = jnp.zeros((wpe2, comm.n_rows, k), jnp.uint32)
+            wr = jax.jit(
+                lambda b, w, i: jax.lax.dynamic_update_slice(b, w, (0, i, 0)),
+                donate_argnums=0,
+            )
             for r0 in range(0, comm.n_rows, rb):
                 r1 = min(r0 + rb, comm.n_rows)
-                pieces.append(linktime.pull(ev.eval_block(get_block(r0, r1))))
+                buf = wr(buf, ev.eval_block(get_block(r0, r1)), r0)
+            col_w = linktime.pull(buf)
         else:
             if comm.coeffs is not None:
                 gather = (_encode_gather_packed_fn(enc) if comm.packed
@@ -842,7 +851,7 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
             for r0 in range(0, comm.n_rows, rb):
                 r1 = min(r0 + rb, comm.n_rows)
                 pieces.append(linktime.pull(gather(get_block(r0, r1), idx)))
-        col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k) packed
+            col_w = np.concatenate(pieces, axis=1)  # (W/2, n_rows, k)
 
     return LcEvalProof(
         n_cols=comm.n_cols, p_eval_rows=eval_rows, p_random_rows=p_random_rows,
