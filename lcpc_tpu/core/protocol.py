@@ -562,7 +562,11 @@ def prove(comm: LcCommit, outer_tensor: list[int], enc: LcEncoding,
     ops = get_ops(enc.spec)
     from ..ops import mxu_prove
 
-    if mxu_prove.mxu_prove_enabled(enc.spec):
+    # the digit-conv collapse wins once the coefficient matrix is large
+    # enough to amortize its kernel build + extra dispatches; below ~2^22
+    # elements the single-dispatch VPU collapse has lower latency
+    if (mxu_prove.mxu_prove_enabled(enc.spec)
+            and comm.n_rows * comm.n_per_row >= (1 << 22)):
         mc = mxu_prove.MxuCollapse(enc.spec, comm.n_rows)
 
         def collapse_words_fn(ts: np.ndarray, ts_ints) -> np.ndarray:
@@ -607,11 +611,22 @@ def _rows_encode_fn(enc: LcEncoding):
         if hasattr(enc, "_device_mats"):
             enc._device_mats()  # materialize device constants outside the trace
 
-        def rows_encode(rows_w):
-            rows_raw = _unpack_words_dev(jnp.transpose(rows_w, (2, 0, 1)))
-            return enc.encode_rows(ops.to_mont(rows_raw))
+        if hasattr(enc, "encode_rows_core"):
+            # encodings with big device matrices (Brakedown) thread them as
+            # jit ARGUMENTS: closed-over, they embed in the serialized HLO
+            # and blow the remote-compile size limit at 2^23+ (HTTP 413)
+            def rows_encode_m(rows_w, mats):
+                rows_raw = _unpack_words_dev(jnp.transpose(rows_w, (2, 0, 1)))
+                return enc.encode_rows_core(ops.to_mont(rows_raw), mats)
 
-        fn = jax.jit(rows_encode)
+            jitted = jax.jit(rows_encode_m)
+            fn = lambda rows_w: jitted(rows_w, enc.encode_mats())
+        else:
+            def rows_encode(rows_w):
+                rows_raw = _unpack_words_dev(jnp.transpose(rows_w, (2, 0, 1)))
+                return enc.encode_rows(ops.to_mont(rows_raw))
+
+            fn = jax.jit(rows_encode)
         _rows_encode_cache[enc] = fn
     return fn
 

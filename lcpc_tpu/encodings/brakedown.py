@@ -408,6 +408,18 @@ class _DeviceMat:
         self.cols = jnp.asarray(cols.T)
         self.vals = jnp.asarray(np.transpose(vals, (1, 2, 0)))
 
+    def with_arrays(self, cols, vals) -> "_DeviceMat":
+        """Shallow view with the array payload replaced (tracer-friendly):
+        lets the arrays travel as jit ARGUMENTS while shapes/meta stay
+        static (see SdigEncoding.encode_mats)."""
+        dm = object.__new__(_DeviceMat)
+        dm.n_out = self.n_out
+        dm.n_in = self.n_in
+        dm.kmax = self.kmax
+        dm.cols = cols
+        dm.vals = vals
+        return dm
+
 
 def _use_pallas_spmv(r: int) -> bool:
     """Pallas for wide row batches (commit); XLA for narrow ones.
@@ -607,17 +619,42 @@ class SdigEncoding(LcEncoding):
             self._dev = (pre, post, jnp.asarray(vm))
         return self._dev
 
+    def encode_mats(self):
+        """The expander/Vandermonde arrays as a jit-ARGUMENT pytree.
+
+        The matrices must travel as jit arguments, not closure constants: a
+        closed-over array is embedded in the serialized HLO, and at 2^23
+        the ~300 MB of Montgomery-limb values blow the remote-compile
+        request limit (HTTP 413) — the failure that killed earlier sdig
+        large-N sweeps.  Callers that trace encode_rows_core inside their
+        own jit (verify's row re-encode) thread this pytree through their
+        argument list the same way.
+        """
+        pre, post, vmont = self._device_mats()
+        return (
+            tuple((dm.cols, dm.vals) for dm in pre),
+            tuple((dm.cols, dm.vals) for dm in post),
+            vmont,
+        )
+
     def encode_rows(self, rows: jnp.ndarray) -> jnp.ndarray:
         if self._encode_jit is None:
-            # materialize the device matrices OUTSIDE the trace (constants
-            # cached on self must not be created inside jit)
+            # materialize the device matrices OUTSIDE the trace
             self._device_mats()
-            self._encode_jit = jax.jit(self._encode_rows_impl)
-        return self._encode_jit(rows)
+            self._encode_jit = jax.jit(self.encode_rows_core)
+        return self._encode_jit(rows, self.encode_mats())
 
-    def _encode_rows_impl(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def encode_rows_core(self, rows: jnp.ndarray, mats) -> jnp.ndarray:
+        """encode_rows body over caller-supplied matrix arrays (see
+        encode_mats); static structure (shapes, kmax) still comes from the
+        resident _DeviceMat meta."""
         ops = self.ops
-        pre, post, vmont = self._device_mats()
+        pre_meta, post_meta, _ = self._device_mats()
+        pre_arrs, post_arrs, vmont = mats
+        pre = [dm.with_arrays(c, v)
+               for dm, (c, v) in zip(pre_meta, pre_arrs)]
+        post = [dm.with_arrays(c, v)
+                for dm, (c, v) in zip(post_meta, post_arrs)]
         # flat column-major throughout: positions lead, (W*R) flat vectors
         # minor — 128-lane-aligned rows for the gathers (_apply_mat_device)
         w, r, npr = rows.shape[0], rows.shape[1], rows.shape[2]

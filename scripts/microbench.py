@@ -75,8 +75,13 @@ def main():
     print(f"# device={jax.devices()[0]} enc={args.enc} field={args.field}",
           file=sys.stderr, flush=True)
 
+    com = pf = coeffs = None
     for lgl in range(args.min, args.max + 1, args.step):
         n = 1 << lgl
+        # release the previous size's state BEFORE generating this one's:
+        # a retained 2^25 codeword (4.3 GB) alive next to a 2^27 packed
+        # coefficient buffer OOMs the chip
+        com = pf = coeffs = None
         # random coefficients generated ON DEVICE (random 16-bit limbs
         # reduced by to_mont; distribution irrelevant for timing) — a host
         # upload at 2^25 is ~2.4 GB through the tunnel
@@ -172,26 +177,33 @@ def main():
             # contaminate the corpus — a 6x verify outlier at 2^17 did)
             from lcpc_tpu.utils import linktime
 
+            # wall times from UNMEASURED runs (link measurement makes the
+            # transfers synchronous, which costs overlap at small sizes);
+            # compute-only twins from separate measured runs
             pf = com.prove(outer, preamble())  # warm-up
             p_times, p_comp = [], []
             for _ in range(3):
                 t0 = time.time()
+                pf = com.prove(outer, preamble())
+                p_times.append(time.time() - t0)
+            for _ in range(3):
+                t0 = time.time()
                 with linktime.measure() as lm:
                     pf = com.prove(outer, preamble())
-                wall = time.time() - t0
-                p_times.append(wall)
-                p_comp.append(wall - lm.ns * 1e-9)
+                p_comp.append(time.time() - t0 - lm.ns * 1e-9)
             prove_ns = int(sorted(p_times)[1] * 1e9)
             blob = wire.serialize_proof(spec, pf)
             pf.verify(com.get_root(), outer, inner, enc, preamble())  # warm
             v_times, v_comp = [], []
             for _ in range(3):
                 t0 = time.time()
+                pf.verify(com.get_root(), outer, inner, enc, preamble())
+                v_times.append(time.time() - t0)
+            for _ in range(3):
+                t0 = time.time()
                 with linktime.measure() as lm:
                     pf.verify(com.get_root(), outer, inner, enc, preamble())
-                wall = time.time() - t0
-                v_times.append(wall)
-                v_comp.append(wall - lm.ns * 1e-9)
+                v_comp.append(time.time() - t0 - lm.ns * 1e-9)
             verify_ns = int(sorted(v_times)[1] * 1e9)
             print(f"{lgl}: {prove_ns} {verify_ns} {len(blob)}", flush=True)
             # compute-only twins: wall minus the measured host<->device
