@@ -60,7 +60,8 @@ class LcEncoding(abc.ABC):
         """
 
     def encode_rows_lowmem(self, rows: jnp.ndarray, post=None,
-                           canonical: bool = False) -> jnp.ndarray:
+                           canonical: bool = False,
+                           mats=None) -> jnp.ndarray:
         """encode_rows variant preferring minimal HBM transients.
 
         The streaming commit encodes by row blocks precisely because memory
@@ -71,8 +72,15 @@ class LcEncoding(abc.ABC):
         transforms the encoded block to its consumer form as deep inside
         the kernel as the encoding can push it (see LigeroEncoding).
         `canonical=True` asks for canonical limbs instead of Montgomery.
+        `mats` (optional) carries the encoding's device matrices as traced
+        arguments when this runs inside a caller's jit (see
+        SdigEncoding.encode_mats — closure-captured matrices embed in the
+        HLO and blow the remote-compile size limit).
         """
-        out = self.encode_rows(rows)
+        if mats is not None and hasattr(self, "encode_rows_core"):
+            out = self.encode_rows_core(rows, mats)
+        else:
+            out = self.encode_rows(rows)
         if canonical:
             from ..ops.limbs import get_ops
 

@@ -291,11 +291,18 @@ def _pack_words(ops, canon: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(words, 0, 1).reshape(r * (w // 2), c)
 
 
+@functools.lru_cache(maxsize=8)
+def _canon_pack_fn(ops):
+    # one jit: XLA fuses the canonicalization into the pack, so the peak is
+    # codeword + packed words instead of an eager elementwise chain holding
+    # several codeword-sized intermediates (OOMed sdig 2^25's 3 GB matrix)
+    return jax.jit(lambda c: _pack_words(ops, ops.from_mont(c)))
+
+
 def _hash_and_merkleize(ops, comm: jnp.ndarray, n_cols_np2: int,
                         digest: DeviceDigest = BLAKE3):
     """Column digests + all Merkle layers; returns list of (8, n) arrays."""
-    canon = ops.from_mont(comm)
-    words = _pack_words(ops, canon)
+    words = _canon_pack_fn(ops)(comm)
     leaves = digest.hash_word_columns(words)  # (8, n_cols)
     n_cols = comm.shape[2]
     if n_cols_np2 > n_cols:

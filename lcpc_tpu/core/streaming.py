@@ -198,10 +198,17 @@ def _encode_pack_fn(enc: LcEncoding):
         # pack runs as the encode's `post` so it fuses INSIDE any sub-chunk
         # map (the unpacked codeword block never materializes — 2+ GB at
         # 2^29 with 8-row blocks), and canonical=True folds the Montgomery
-        # R^-1 into the NTT kernel (no separate from_mont pass)
+        # R^-1 into the NTT kernel (no separate from_mont pass).  Encodings
+        # with big device matrices thread them as jit ARGUMENTS (HTTP 413
+        # otherwise; see SdigEncoding.encode_mats).
         post = lambda out: _pack_words(ops, out)
-        fn = jax.jit(lambda block: enc.encode_rows_lowmem(
-            block, post=post, canonical=True))
+        if hasattr(enc, "encode_mats"):
+            jitted = jax.jit(lambda block, mats: enc.encode_rows_lowmem(
+                block, post=post, canonical=True, mats=mats))
+            fn = lambda block: jitted(block, enc.encode_mats())
+        else:
+            fn = jax.jit(lambda block: enc.encode_rows_lowmem(
+                block, post=post, canonical=True))
         _encode_pack_cache[enc] = fn
     return fn
 
@@ -211,10 +218,19 @@ def _encode_gather_fn(enc: LcEncoding):
     if fn is None:
         _prepare_encode_constants(enc)
 
-        def gather(block, idx):
-            g = jnp.take(enc.encode_rows_lowmem(block), idx, axis=2)
-            return g[0::2] | (g[1::2] << jnp.uint32(16))  # packed words
-        fn = jax.jit(gather)
+        if hasattr(enc, "encode_mats"):
+            def gather_m(block, idx, mats):
+                g = jnp.take(
+                    enc.encode_rows_lowmem(block, mats=mats), idx, axis=2
+                )
+                return g[0::2] | (g[1::2] << jnp.uint32(16))
+            jitted = jax.jit(gather_m)
+            fn = lambda block, idx: jitted(block, idx, enc.encode_mats())
+        else:
+            def gather(block, idx):
+                g = jnp.take(enc.encode_rows_lowmem(block), idx, axis=2)
+                return g[0::2] | (g[1::2] << jnp.uint32(16))  # packed words
+            fn = jax.jit(gather)
         _encode_gather_cache[enc] = fn
     return fn
 

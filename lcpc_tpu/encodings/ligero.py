@@ -225,7 +225,8 @@ class LigeroEncoding(LcEncoding):
     _MXU_STREAM_BPE = 500
 
     def encode_rows_lowmem(self, rows: jnp.ndarray, post=None,
-                           canonical: bool = False) -> jnp.ndarray:
+                           canonical: bool = False,
+                           mats=None) -> jnp.ndarray:  # mats unused (RS)
         """Bounded-transient encode for the streaming path.
 
         `post` (optional) maps one encoded sub-chunk (W, sub, n_cols) to its
