@@ -135,68 +135,114 @@ class HostCoeffSource(CoeffSource):
         return dev.reshape(-1, r1 - r0, npr)
 
 
-@functools.lru_cache(maxsize=8)
-def _gen_chunk_fn(spec: FieldSpec, chunk: int):
-    ops = get_ops(spec)
+@functools.lru_cache(maxsize=32)
+def _gen_span_fn(spec: FieldSpec, chunk: int, n_chunks: int):
+    """Digit-plane generator: (W7, n_chunks*chunk) uint8 7-bit digits.
 
-    def gen(key):
-        raw = jax.random.bits(key, (ops.w, chunk), dtype=jnp.uint32)
-        return ops.to_mont(raw & jnp.uint32(0xFFFF))
+    The coefficient VALUE is sum(d_i * 2^(7i)), read as the Montgomery
+    representation directly (i.e. the field element is value * R^-1 mod p —
+    a uniform-ish random element, which is all the bench methodology needs).
+    The top digit is masked so the value stays < 2^(num_bits - 1) <= p, i.e.
+    canonical-range.  Digit-major form is what the MXU prove kernels consume
+    natively (no to7 pass), and from7 to 16-bit limbs for the NTT is far
+    cheaper than the to_mont modmul the old u16-limb generator paid.
+
+    One jit generates the whole span: chunk c's digits are a pure function
+    of fold_in(key, c), vmapped across chunks — the generator only reaches
+    full rate with many concurrent chunk draws (measured 44 GB/s at 64-way
+    vs 8 GB/s sequential on v5e).  The top-digit range mask is a broadcast
+    AND (an .at[].set rewrote the whole block, 3x slower end to end).
+    """
+    w7 = (spec.num_bits + 6) // 7
+    top_bits = (spec.num_bits - 1) - 7 * (w7 - 1)
+    mask = np.full((w7, 1), 0x7F, dtype=np.uint8)
+    mask[w7 - 1] = (1 << max(0, top_bits)) - 1
+    mask_np = mask
+
+    def one(key, c):
+        k = jax.random.fold_in(key, c)
+        raw = jax.random.bits(k, (w7, chunk), dtype=jnp.uint8)
+        return raw & jnp.asarray(mask_np)
+
+    def gen(key, c0):
+        ds = jax.vmap(lambda c: one(key, c), out_axes=1)(
+            c0 + jnp.arange(n_chunks)
+        )  # (w7, n_chunks, chunk)
+        return ds.reshape(w7, n_chunks * chunk)
 
     return jax.jit(gen)
 
 
 @functools.lru_cache(maxsize=8)
+def _digits_to_limbs_fn(spec: FieldSpec):
+    from ..ops.mxu_ntt import _from7
+
+    ops = get_ops(spec)
+    return jax.jit(lambda d: _from7(d, ops.w))
+
+
+@functools.lru_cache(maxsize=8)
 def _rbg_key(seed: int):
-    # the counter-based rbg generator is ~10x cheaper per word than the
-    # default threefry on TPU; regeneration cost shows up in every seeded
-    # commit AND prove, so this matters at 2^29 (coefficient regen was
-    # ~25 s of the commit with threefry)
-    try:
-        return jax.random.key(seed, impl="rbg")
-    except Exception:  # older jax without impl= support
-        return jax.random.PRNGKey(seed)
+    # threefry, NOT rbg: rbg lanes under vmap are not pure per-lane
+    # functions of their key (lane 1 of a width-2 batch differs from the
+    # same chunk generated at another width/offset), which breaks the
+    # partition-independence contract block()/block_digits() rely on.
+    # Threefry is counter-based per key and vmap-pure (verified empirically;
+    # ~22 GB/s of digit planes at 128-way chunk parallelism on v5e).
+    return jax.random.PRNGKey(seed)
 
 
 class SeededCoeffSource(CoeffSource):
     """Deterministic device-generated coefficients, regenerated per block.
 
-    Element i lives in generation chunk i // chunk; chunk c is
-    to_mont(bits(fold_in(key, c)) & 0xFFFF) — a pure function of (seed, c),
-    so any block partitioning sees identical values (twin-tested against a
-    materialized array).  Matches the bench methodology the corpus already
-    uses (random 16-bit limbs reduced by to_mont; distribution is irrelevant
-    for timing) while keeping zero coefficients resident.
+    Element i lives in generation chunk i // chunk; chunk c is a pure
+    function of (seed, c) — uniform 7-bit digit planes from
+    bits(fold_in(key, c)) (see _gen_chunk_fn) — so any block partitioning
+    sees identical values (twin-tested against a materialized array).
+    `block` serves the standard 16-bit-limb form (one cheap from7 per
+    block); `block_digits` serves the digit planes natively, which the MXU
+    prove kernels contract without any digitization pass.  Keeps zero
+    coefficients resident — what lets a 16 GB chip run 2^29 ft255.
     """
 
     def __init__(self, spec: FieldSpec, length: int, seed: int = 0,
-                 chunk: int = 1 << 20):
+                 chunk: int = 1 << 18):
+        # chunk 2^18 (not 2^20): generator rate scales with the number of
+        # concurrent vmapped chunk draws, and commit regenerates in small
+        # (32-row) blocks where 2^20 chunks left it 8-way parallel
         self.spec = spec
         self.length = length
         self.key = _rbg_key(seed)
         self.chunk = chunk
+        self.w7 = (spec.num_bits + 6) // 7
 
-    def block(self, r0: int, r1: int) -> jnp.ndarray:
-        ops = get_ops(self.spec)
-        npr = self.n_per_row
-        i0, i1 = r0 * npr, r1 * npr
-        gen = _gen_chunk_fn(self.spec, self.chunk)
-        pieces = []
-        for c in range(i0 // self.chunk, (i1 - 1) // self.chunk + 1):
-            lo, hi = c * self.chunk, (c + 1) * self.chunk
-            piece = gen(jax.random.fold_in(self.key, c))
-            s0 = max(i0, lo) - lo
-            s1 = min(i1, hi) - lo
-            if s0 > 0 or s1 < self.chunk:
-                piece = piece[:, s0:s1]
-            pieces.append(piece)
-        blk = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    def _digit_block(self, i0: int, i1: int) -> jnp.ndarray:
+        c0 = i0 // self.chunk
+        c1 = (i1 - 1) // self.chunk + 1
+        gen = _gen_span_fn(self.spec, self.chunk, c1 - c0)
+        span = gen(self.key, jnp.uint32(c0))
+        s0 = i0 - c0 * self.chunk
+        s1 = i1 - c0 * self.chunk
+        blk = span if (s0 == 0 and s1 == span.shape[1]) else span[:, s0:s1]
         if self.length < i1:  # zero the padding tail
             n = blk.shape[1]
             keep = max(0, self.length - i0)
             mask = (jnp.arange(n, dtype=jnp.uint32) < keep)[None, :]
-            blk = jnp.where(mask, blk, jnp.uint32(0))
-        return blk.reshape(ops.w, r1 - r0, npr)
+            blk = jnp.where(mask, blk, jnp.uint8(0))
+        return blk
+
+    def block(self, r0: int, r1: int) -> jnp.ndarray:
+        ops = get_ops(self.spec)
+        npr = self.n_per_row
+        d = self._digit_block(r0 * npr, r1 * npr)
+        limbs = _digits_to_limbs_fn(self.spec)(d)
+        return limbs.reshape(ops.w, r1 - r0, npr)
+
+    def block_digits(self, r0: int, r1: int) -> jnp.ndarray:
+        """(W7, r1-r0, n_per_row) uint8 digit planes (MXU prove fast path)."""
+        npr = self.n_per_row
+        d = self._digit_block(r0 * npr, r1 * npr)
+        return d.reshape(self.w7, r1 - r0, npr)
 
     def materialize(self) -> jnp.ndarray:
         """Full (W, length) array — test helper for twin checks at small N."""

@@ -190,6 +190,21 @@ def _prepare_encode_constants(enc: LcEncoding) -> None:
             get_mxu_ntt_canonical(enc.spec, enc.n_cols, in_len)
 
 
+def _stream_mats(enc: LcEncoding, canonical: bool):
+    """The table pytree encode_rows_lowmem(mats=...) expects, or None.
+
+    Ligero's streaming NTT differs from its plain-path NTT (canonical-out
+    MXU variant / VPU ladder), so it exposes stream_encode_mats; other
+    encodings (Brakedown) stream through encode_rows_core with the plain
+    encode_mats.
+    """
+    if hasattr(enc, "stream_encode_mats"):
+        return enc.stream_encode_mats(canonical=canonical)
+    if hasattr(enc, "encode_mats"):
+        return enc.encode_mats()
+    return None
+
+
 def _encode_pack_fn(enc: LcEncoding):
     fn = _encode_pack_cache.get(enc)
     if fn is None:
@@ -198,14 +213,14 @@ def _encode_pack_fn(enc: LcEncoding):
         # pack runs as the encode's `post` so it fuses INSIDE any sub-chunk
         # map (the unpacked codeword block never materializes — 2+ GB at
         # 2^29 with 8-row blocks), and canonical=True folds the Montgomery
-        # R^-1 into the NTT kernel (no separate from_mont pass).  Encodings
-        # with big device matrices thread them as jit ARGUMENTS (HTTP 413
-        # otherwise; see SdigEncoding.encode_mats).
+        # R^-1 into the NTT kernel (no separate from_mont pass).  The
+        # encoding's device tables thread as jit ARGUMENTS (HTTP 413
+        # otherwise; see encode_mats/stream_encode_mats).
         post = lambda out: _pack_words(ops, out)
-        if hasattr(enc, "encode_mats"):
+        if _stream_mats(enc, True) is not None:
             jitted = jax.jit(lambda block, mats: enc.encode_rows_lowmem(
                 block, post=post, canonical=True, mats=mats))
-            fn = lambda block: jitted(block, enc.encode_mats())
+            fn = lambda block: jitted(block, _stream_mats(enc, True))
         else:
             fn = jax.jit(lambda block: enc.encode_rows_lowmem(
                 block, post=post, canonical=True))
@@ -218,14 +233,14 @@ def _encode_gather_fn(enc: LcEncoding):
     if fn is None:
         _prepare_encode_constants(enc)
 
-        if hasattr(enc, "encode_mats"):
+        if _stream_mats(enc, False) is not None:
             def gather_m(block, idx, mats):
                 g = jnp.take(
                     enc.encode_rows_lowmem(block, mats=mats), idx, axis=2
                 )
                 return g[0::2] | (g[1::2] << jnp.uint32(16))
             jitted = jax.jit(gather_m)
-            fn = lambda block, idx: jitted(block, idx, enc.encode_mats())
+            fn = lambda block, idx: jitted(block, idx, _stream_mats(enc, False))
         else:
             def gather(block, idx):
                 g = jnp.take(enc.encode_rows_lowmem(block), idx, axis=2)
@@ -255,11 +270,21 @@ def _encode_pack_packed_fn(enc: LcEncoding):
         ops = get_ops(enc.spec)
         _prepare_encode_constants(enc)
         post = lambda out: _pack_words(ops, out)
-        fn = jax.jit(
-            lambda block: enc.encode_rows_lowmem(
-                protocol._unpack_words_dev(block), post=post, canonical=True
+        # same mats-as-jit-arguments rule as _encode_pack_fn: without it a
+        # packed Brakedown sweep re-embeds the expander matrices as HLO
+        # constants (HTTP 413 at 2^27+)
+        if _stream_mats(enc, True) is not None:
+            jitted = jax.jit(lambda block, mats: enc.encode_rows_lowmem(
+                protocol._unpack_words_dev(block), post=post,
+                canonical=True, mats=mats))
+            fn = lambda block: jitted(block, _stream_mats(enc, True))
+        else:
+            fn = jax.jit(
+                lambda block: enc.encode_rows_lowmem(
+                    protocol._unpack_words_dev(block), post=post,
+                    canonical=True
+                )
             )
-        )
         _encode_pack_packed_cache[enc] = fn
     return fn
 
@@ -269,11 +294,21 @@ def _encode_gather_packed_fn(enc: LcEncoding):
     if fn is None:
         _prepare_encode_constants(enc)
 
-        def gather(block, idx):
-            rows = enc.encode_rows_lowmem(protocol._unpack_words_dev(block))
-            g = jnp.take(rows, idx, axis=2)
-            return g[0::2] | (g[1::2] << jnp.uint32(16))  # packed words
-        fn = jax.jit(gather)
+        if _stream_mats(enc, False) is not None:
+            def gather_m(block, idx, mats):
+                rows = enc.encode_rows_lowmem(
+                    protocol._unpack_words_dev(block), mats=mats)
+                g = jnp.take(rows, idx, axis=2)
+                return g[0::2] | (g[1::2] << jnp.uint32(16))
+            jitted = jax.jit(gather_m)
+            fn = lambda block, idx: jitted(block, idx, _stream_mats(enc, False))
+        else:
+            def gather(block, idx):
+                rows = enc.encode_rows_lowmem(
+                    protocol._unpack_words_dev(block))
+                g = jnp.take(rows, idx, axis=2)
+                return g[0::2] | (g[1::2] << jnp.uint32(16))  # packed words
+            fn = jax.jit(gather)
         _encode_gather_packed_cache[enc] = fn
     return fn
 
@@ -714,8 +749,57 @@ def _host_cols_to_proof_fn(ops):
     return jax.jit(g)
 
 
+def _prove_row_block(comm: LcCommitStreaming, bytes_per_elem: int) -> int:
+    """Row block for prove's collapse/column-eval passes.
+
+    The commit's row_block is sized for the NTT/SpMV encode transients
+    (~12x codeword bytes per row); prove's passes only hold one coefficient
+    block (`bytes_per_elem` in its in-flight layout) plus small
+    digit/accumulator transients, so much larger blocks fit — and block
+    size is MXU efficiency here (the eval conv's batch dim is the row
+    count; 32-row blocks measured ~21 int8-Tops vs >100 at 256).  Sized so
+    two blocks (dispatch pipeline) fit beside the resident arrays with
+    1 GiB slack.
+    """
+    from ..utils import hbm as hbm_budget
+
+    resident = comm.hashes_dev.nbytes
+    if comm.coeffs is not None:
+        resident += comm.coeffs.nbytes
+    if comm.words_dev is not None:
+        resident += comm.words_dev.nbytes
+    free = hbm_budget.usable_hbm_bytes() - resident - (1 << 30)
+    per_row = comm.n_per_row * bytes_per_elem
+    rb = max(comm.row_block, free // (2 * per_row))
+    rb = min(rb, comm.n_rows)
+    if rb > comm.row_block:
+        rb = 1 << (rb.bit_length() - 1)  # pow2: small trace-shape set
+    return max(1, rb)
+
+
+def _prove_block_source(comm: LcCommitStreaming):
+    """(get_block, in_form, bytes_per_elem) for prove's MXU passes.
+
+    Picks the cheapest in-flight layout the commit state supports: digit
+    planes from a digit-generating CoeffSource (no digitization pass at
+    all), the packed resident matrix sliced as-is (unpacked per chunk
+    in-kernel), or plain limb blocks.
+    """
+    ops = get_ops(comm.enc.spec)
+    if comm.coeffs is not None and comm.packed:
+        return (lambda r0, r1: comm.coeffs[:, r0:r1, :]), "packed", ops.w * 2
+    if comm.coeffs is not None:
+        return (lambda r0, r1: comm.coeffs[:, r0:r1, :]), "limbs", ops.w * 4
+    if hasattr(comm.source, "block_digits"):
+        w7 = (comm.enc.spec.num_bits + 6) // 7
+        return comm.source.block_digits, "digits", w7
+    return comm.source.block, "limbs", ops.w * 4
+
+
 def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
                     enc: LcEncoding, tr: Transcript) -> LcEvalProof:
+    import os
+
     from ..ops import mxu_prove
 
     spec = enc.spec
@@ -723,9 +807,17 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
     if len(outer_tensor) != comm.n_rows:
         raise ProverError("outer tensor: wrong size")
 
-    use_mxu = mxu_prove.mxu_prove_enabled(spec)
+    # same size gate as protocol.prove: below ~2^22 elements the
+    # single-dispatch VPU collapse has lower latency than the digit kernel's
+    # build + extra dispatches (LCPC_MXU_PROVE=1 forces, for the twin tests)
+    use_mxu = mxu_prove.mxu_prove_enabled(spec) and (
+        comm.n_rows * comm.n_per_row >= (1 << 22)
+        or os.environ.get("LCPC_MXU_PROVE") == "1"
+    )
     mc = (mxu_prove.MxuCollapse(spec, comm.n_rows, packed=comm.packed)
           if use_mxu else None)
+    blk_src, blk_form, blk_bpe = _prove_block_source(comm)
+    prove_rb = _prove_row_block(comm, blk_bpe)
 
     # fused collapse: one device dispatch + one pull per FS round, with the
     # eval collapse riding the final degree test (see protocol.prove)
@@ -749,10 +841,12 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
             # coefficient matrix — contraction chunked to the conv cap
             words = linktime.pull(mc(ts_ints, comm.coeffs))
         elif mc is not None:
-            # CoeffSource path: same kernel, rows streamed per block
-            mc_src = mxu_prove.MxuCollapse(spec, comm.n_rows, packed=False)
+            # CoeffSource path: same kernel, rows streamed per block in
+            # the source's cheapest layout (digit planes for seeded)
+            mc_src = mxu_prove.MxuCollapse(spec, comm.n_rows,
+                                           in_form=blk_form)
             words = linktime.pull(mc_src.collapse_source(
-                ts_ints, comm.source.block, comm.n_rows, comm.row_block
+                ts_ints, blk_src, comm.n_rows, prove_rb
             ))
         elif comm.coeffs is not None and not comm.packed:
             words = linktime.pull(
@@ -825,23 +919,10 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
         # digit-conv contraction per row block instead of re-encoding the
         # whole codeword (a re-encode gather costs ~a full commit)
         k = len(cols_to_open)
-        npr_pad = _next_pow2(comm.n_per_row)
-        v7_bytes = npr_pad * k * ((enc.spec.num_bits + 6) // 7)
-        use_eval = (
-            mxu_prove.mxu_prove_enabled(enc.spec)
-            and getattr(enc, "supports_direct_col_eval", False)
-            and v7_bytes <= (2 << 30)  # the on-device Vandermonde kernel
-        )
+        use_eval = use_mxu and getattr(enc, "supports_direct_col_eval", False)
         pieces = []
         rb = comm.row_block
         if use_eval:
-            if comm.coeffs is not None and comm.packed:
-                def get_block(r0, r1):
-                    return protocol._unpack_words_dev(comm.coeffs[:, r0:r1, :])
-            elif comm.coeffs is not None:
-                get_block = lambda r0, r1: comm.coeffs[:, r0:r1, :]
-            else:
-                get_block = comm.source.block
             ev = mxu_prove.MxuColumnEval(enc)
             ev.set_columns(cols_to_open)
             # accumulate per-block columns ON DEVICE and pull once: at 2^29
@@ -852,9 +933,17 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
                 lambda b, w, i: jax.lax.dynamic_update_slice(b, w, (0, i, 0)),
                 donate_argnums=0,
             )
-            for r0 in range(0, comm.n_rows, rb):
-                r1 = min(r0 + rb, comm.n_rows)
-                buf = wr(buf, ev.eval_block(get_block(r0, r1)), r0)
+            # prove-sized row blocks (MXU batch efficiency) in the source's
+            # cheapest layout; two-deep dispatch pipeline so queued block
+            # transients stay bounded
+            prev = None
+            for r0 in range(0, comm.n_rows, prove_rb):
+                r1 = min(r0 + prove_rb, comm.n_rows)
+                part = ev.eval_block(blk_src(r0, r1), in_form=blk_form)
+                buf = wr(buf, part, r0)
+                if prev is not None:
+                    prev.block_until_ready()
+                prev = part
             col_w = linktime.pull(buf)
         else:
             if comm.coeffs is not None:

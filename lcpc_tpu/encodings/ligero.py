@@ -193,6 +193,37 @@ class LigeroEncoding(LcEncoding):
         padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self._ntt_in - npr)])
         return self._ntt(padded)
 
+    def encode_mats(self) -> tuple:
+        """The NTT's twiddle/kernel tables as a jit-ARGUMENT pytree.
+
+        Same rule as SdigEncoding.encode_mats: callers tracing the encode
+        inside their own jit/shard_map (verify's row re-encode, the mesh
+        commit) must thread these through their argument lists — closure
+        capture embeds them in the serialized HLO (tens to hundreds of MB
+        at large n; remote-compile HTTP 413)."""
+        return self._ntt.mats()
+
+    def encode_rows_core(self, rows: jnp.ndarray, mats: tuple) -> jnp.ndarray:
+        """encode_rows body over caller-supplied tables (see encode_mats)."""
+        w, r, npr = rows.shape
+        assert npr == self.n_per_row and w == self.ops.w
+        padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self._ntt_in - npr)])
+        return self._ntt.apply(padded, mats)
+
+    def stream_encode_mats(self, canonical: bool = False) -> tuple:
+        """Tables for the NTT encode_rows_lowmem will run (which differs
+        from the plain path's: the streaming MXU plan may be the
+        canonical-output variant, and the fallback is the VPU ladder)."""
+        ntt = self._stream_mxu_ntt()
+        if ntt is None:
+            return self._lowmem_ntt().mats()
+        if canonical:
+            from ..ops.mxu_ntt import get_mxu_ntt_canonical
+
+            in_len = None if self._ntt_in == self.n_cols else self._ntt_in
+            ntt = get_mxu_ntt_canonical(self.spec, self.n_cols, in_len)
+        return ntt.mats()
+
     def _lowmem_ntt(self):
         """VPU ladder, constructed EAGERLY (device twiddle constants must
         materialize outside any enclosing jit trace — see _device_mats)."""
@@ -226,7 +257,7 @@ class LigeroEncoding(LcEncoding):
 
     def encode_rows_lowmem(self, rows: jnp.ndarray, post=None,
                            canonical: bool = False,
-                           mats=None) -> jnp.ndarray:  # mats unused (RS)
+                           mats=None) -> jnp.ndarray:
         """Bounded-transient encode for the streaming path.
 
         `post` (optional) maps one encoded sub-chunk (W, sub, n_cols) to its
@@ -247,13 +278,19 @@ class LigeroEncoding(LcEncoding):
         the block as row SUB-chunks under lax.map (compiled once, buffers
         sized for one sub-chunk).  Profiled at 2^25 ft255 the VPU-ladder
         encode was 6.6 s of the 7.1 s commit — this path is what puts the
-        streaming commit past the 64-core baseline."""
+        streaming commit past the 64-core baseline.
+
+        `mats` (optional) carries the tables stream_encode_mats(canonical)
+        returned, as traced arguments — mandatory when this runs inside a
+        caller's jit (closure-captured tables embed in the HLO)."""
         w, r, npr = rows.shape
         assert npr == self.n_per_row and w == self.ops.w
         ntt_mxu = self._stream_mxu_ntt()
         if ntt_mxu is None:
+            ladder = self._lowmem_ntt()
             padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self.n_cols - npr)])
-            out = self._lowmem_ntt()(padded)
+            out = (ladder.apply(padded, mats) if mats is not None
+                   else ladder(padded))
             if canonical:
                 out = self.ops.from_mont(out)
             return post(out) if post is not None else out
@@ -262,6 +299,9 @@ class LigeroEncoding(LcEncoding):
 
             in_len = None if self._ntt_in == self.n_cols else self._ntt_in
             ntt_mxu = get_mxu_ntt_canonical(self.spec, self.n_cols, in_len)
+        if mats is not None:
+            base = ntt_mxu
+            ntt_mxu = lambda x: base.apply(x, mats)
         # MXU path: pad only to the plan's input length (n_per_row for the
         # zero-padded-input plan — no (w, r, n_cols) zero buffer at all)
         padded = jnp.pad(rows, [(0, 0), (0, 0), (0, self._ntt_in - npr)])

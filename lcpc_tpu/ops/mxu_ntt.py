@@ -100,8 +100,12 @@ class ReducePlan:
     matrix entries built with `kscale` (= R7 mod p) cancel the radix.
     """
 
-    def __init__(self, spec: FieldSpec, contract: int):
-        assert contract <= conv_cap(spec), \
+    def __init__(self, spec: FieldSpec, contract: int, split_acc: bool = False):
+        # split_acc: the caller accumulates MULTIPLE int8 convs into uint32
+        # digit planes before reducing (ops/mxu_prove.MxuColumnEval), so the
+        # effective contraction may exceed what one conv's int32 accumulator
+        # tolerates; the reduction math itself only needs w7r sized for it.
+        assert split_acc or contract <= conv_cap(spec), \
             "contraction exceeds the int32 conv accumulator bound"
         self.spec = spec
         self.contract = contract
@@ -457,17 +461,45 @@ class MxuNtt:
         assert x.shape[-1] == self.plan.in_len
         return self._fn(x, self._k1, self._k2, self._tw)
 
+    def mats(self) -> tuple:
+        """The k1/k2/twiddle tables as a jit-ARGUMENT pytree (callers
+        tracing this NTT inside their own jit thread these through their
+        argument lists — closure capture embeds them in the HLO)."""
+        return (self._k1, self._k2, self._tw)
+
+    def apply(self, x: jnp.ndarray, mats: tuple) -> jnp.ndarray:
+        """4-step body over caller-supplied tables (traced, not jitted)."""
+        k1, k2, tw = mats
+        return self._forward(x, k1, k2, tw)
+
+
+def _norm_in_len(n: int, in_len: "int | None") -> "int | None":
+    """Cache-key normalization: in_len == n means a full NTT, same plan as
+    in_len=None — without this, (spec, n, n) and (spec, n, None) built two
+    duplicate plans (an O(n) host bigint table plus a second device-resident
+    copy of the k1/twiddle tables, hundreds of MB at large n)."""
+    return None if in_len is None or in_len >= n else in_len
+
 
 @functools.lru_cache(maxsize=None)
-def get_mxu_ntt(spec: FieldSpec, n: int, in_len: "int | None" = None) -> MxuNtt:
+def _get_mxu_ntt_cached(spec: FieldSpec, n: int, in_len: "int | None") -> MxuNtt:
     return MxuNtt(spec, n, in_len=in_len)
 
 
+def get_mxu_ntt(spec: FieldSpec, n: int, in_len: "int | None" = None) -> MxuNtt:
+    return _get_mxu_ntt_cached(spec, n, _norm_in_len(n, in_len))
+
+
 @functools.lru_cache(maxsize=None)
+def _get_mxu_ntt_canonical_cached(spec: FieldSpec, n: int,
+                                  in_len: "int | None") -> MxuNtt:
+    base = get_mxu_ntt(spec, n, in_len)
+    return MxuNtt(spec, n, in_len=in_len, canonical_out=True,
+                  share_plan=base.plan)
+
+
 def get_mxu_ntt_canonical(spec: FieldSpec, n: int,
                           in_len: "int | None" = None) -> MxuNtt:
     """Canonical-output variant; shares k1/twiddle tables with the
     Montgomery plan of the same shape."""
-    base = get_mxu_ntt(spec, n, in_len)
-    return MxuNtt(spec, n, in_len=in_len, canonical_out=True,
-                  share_plan=base.plan)
+    return _get_mxu_ntt_canonical_cached(spec, n, _norm_in_len(n, in_len))

@@ -66,12 +66,14 @@ class DistNtt:
         ops = self.ops
         ntt_a, ntt_b = self.ntt_a, self.ntt_b
 
-        def local_fn(x_local, tw_local):
-            # x_local: (W, rows, A, B/n_dev)
+        def local_fn(x_local, tw_local, a_mats, b_mats):
+            # x_local: (W, rows, A, B/n_dev).  The local ladders' twiddle
+            # tables travel as shard_map ARGUMENTS (closure capture embeds
+            # them in the serialized HLO — the remote-compile size failure).
             w, rows, a_, bl = x_local.shape
             # phase 1: DFT_A along axis 2
             y = jnp.moveaxis(x_local, 2, 3)          # (W, rows, B_loc, A)
-            y = ntt_a(y.reshape(w, rows * bl, a_))
+            y = ntt_a.apply(y.reshape(w, rows * bl, a_), a_mats)
             y = jnp.moveaxis(y.reshape(w, rows, bl, a_), 3, 2)  # (W,rows,A,Bl)
             # twiddle (device-local slice)
             y = ops.mul(y, jnp.broadcast_to(tw_local[:, None], y.shape))
@@ -80,13 +82,16 @@ class DistNtt:
                                    tiled=True)       # (W, rows, A_loc, B)
             # phase 2: DFT_B along the last axis
             al = y.shape[2]
-            z = ntt_b(y.reshape(w, rows * al, self.b))
+            z = ntt_b.apply(y.reshape(w, rows * al, self.b), b_mats)
             return z.reshape(w, rows, al, self.b)
 
+        a_specs = jax.tree.map(lambda _: P(), ntt_a.mats())
+        b_specs = jax.tree.map(lambda _: P(), ntt_b.mats())
         self._fn = jax.jit(jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P(None, None, None, axis), P(None, None, axis)),
+            in_specs=(P(None, None, None, axis), P(None, None, axis),
+                      a_specs, b_specs),
             out_specs=P(None, None, axis, None),
             check_vma=False,
         ))
@@ -102,4 +107,5 @@ class DistNtt:
     def __call__(self, x_sharded) -> jnp.ndarray:
         """Returns (W, rows, A, B) with the A (output-block) axis sharded;
         reshape to (W, rows, n) for the flat fft_io layout."""
-        return self._fn(x_sharded, self.tw)
+        return self._fn(x_sharded, self.tw, self.ntt_a.mats(),
+                        self.ntt_b.mats())

@@ -196,9 +196,15 @@ def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int,
     np2 = _next_pow2(nc)
     axis = mesh.axis_names[0]
 
-    def local_fn(coeffs_local: jnp.ndarray):
-        # 1. row-parallel encode (zero communication)
-        comm_local = enc.encode_rows(coeffs_local)  # (W, Rp/n, nc)
+    def local_fn(coeffs_local: jnp.ndarray, mats):
+        # 1. row-parallel encode (zero communication); the encoding's
+        # device tables (expander matrices / NTT twiddles) travel as
+        # shard_map ARGUMENTS — closure capture embeds them in the
+        # serialized HLO (the HTTP 413 remote-compile failure at 2^23+)
+        if mats is not None:
+            comm_local = enc.encode_rows_core(coeffs_local, mats)
+        else:
+            comm_local = enc.encode_rows(coeffs_local)  # (W, Rp/n, nc)
         if nc_pad > nc:
             comm_local = jnp.pad(comm_local, [(0, 0), (0, 0), (0, nc_pad - nc)])
         # 2. reshard rows -> columns with one all_to_all over ICI
@@ -224,14 +230,31 @@ def _build_commit_fn(enc: LcEncoding, mesh: Mesh, n_rows: int, n_rows_pad: int,
         flat = jnp.concatenate(layers, axis=1)  # (8, 2*np2-1)
         return flat, comm_cols
 
+    if hasattr(enc, "_device_mats"):
+        enc._device_mats()  # materialize device constants outside the trace
+    if not hasattr(enc, "encode_mats"):
+        jitted = jax.jit(jax.shard_map(
+            lambda c: local_fn(c, None), mesh=mesh,
+            in_specs=P(None, axis, None),
+            out_specs=(P(), P(None, None, axis)),
+            check_vma=False,
+        ))
+        return jitted
+    mats_specs = jax.tree.map(lambda _: P(), enc.encode_mats())
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=P(None, axis, None),
+        in_specs=(P(None, axis, None), mats_specs),
         out_specs=(P(), P(None, None, axis)),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    wrapper = lambda coeffs_sh: jitted(coeffs_sh, enc.encode_mats())
+    # exposed for the dryrun's embedded-constant audit (__graft_entry__):
+    # the jit's OWN jaxpr must not close over megabyte tables
+    wrapper.jitted = jitted
+    wrapper.extra_args = enc.encode_mats
+    return wrapper
 
 
 def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh,

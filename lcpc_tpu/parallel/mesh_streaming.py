@@ -61,8 +61,11 @@ def _block_words_fn(enc: LcEncoding, mesh: Mesh, rb: int, true_rows: int):
     axis = mesh.axis_names[0]
     streaming._prepare_encode_constants(enc)
 
-    def local_fn(block_local):
-        comm_local = enc.encode_rows_lowmem(block_local)  # (W, rb/n, nc)
+    def local_fn(block_local, mats):
+        # the encoding's device tables travel as shard_map ARGUMENTS
+        # (closure capture embeds them in the serialized HLO — HTTP 413)
+        comm_local = enc.encode_rows_lowmem(
+            block_local, mats=mats)  # (W, rb/n, nc)
         if nc_pad > nc:
             comm_local = jnp.pad(
                 comm_local, [(0, 0), (0, 0), (0, nc_pad - nc)]
@@ -73,11 +76,25 @@ def _block_words_fn(enc: LcEncoding, mesh: Mesh, rb: int, true_rows: int):
         canon = ops.from_mont(comm_cols[:, :true_rows, :])
         return _pack_words(ops, canon)  # (true_rows*wpe, nc_pad/n)
 
-    fn = jax.jit(jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=P(None, axis, None), out_specs=P(None, axis),
-        check_vma=False,
-    ))
+    mats = streaming._stream_mats(enc, False)
+    if mats is None:
+        inner = jax.jit(jax.shard_map(
+            lambda block: local_fn(block, None), mesh=mesh,
+            in_specs=P(None, axis, None), out_specs=P(None, axis),
+            check_vma=False,
+        ))
+        fn = inner
+    else:
+        mats_specs = jax.tree.map(lambda _: P(), mats)
+        inner = jax.jit(jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(None, axis, None), mats_specs),
+            out_specs=P(None, axis),
+            check_vma=False,
+        ))
+        fn = lambda block: inner(block, streaming._stream_mats(enc, False))
+        fn.jitted = inner
+        fn.extra_args = lambda: streaming._stream_mats(enc, False)
     per_enc[key] = fn
     return fn
 

@@ -66,6 +66,10 @@ def _make_puts_atomic() -> None:
                 try:
                     with os.fdopen(fd, "wb") as f:
                         f.write(val)
+                    # mkstemp creates 0600; entries in a shared cache dir
+                    # must stay readable to other users like write_bytes'
+                    # umask-derived mode would be
+                    os.chmod(tmp, 0o666 & ~_umask())
                     os.replace(tmp, str(cache_path))
                 except BaseException:
                     try:
@@ -88,9 +92,37 @@ def _make_puts_atomic() -> None:
         pass
 
 
+def _umask() -> int:
+    m = os.umask(0)
+    os.umask(m)
+    return m
+
+
+def _sweep_stale_tmp(path: str) -> None:
+    """Remove crash-orphaned *.tmp cache writes (they never match the
+    *-cache eviction glob, so they would otherwise accumulate forever)."""
+    import time
+
+    try:
+        now = time.time()
+        for name in os.listdir(path):
+            if not name.endswith(".tmp"):
+                continue
+            full = os.path.join(path, name)
+            try:
+                # only clearly-stale files: a live writer finishes in seconds
+                if now - os.path.getmtime(full) > 3600:
+                    os.unlink(full)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get("LCPC_JAX_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
+    _sweep_stale_tmp(path)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

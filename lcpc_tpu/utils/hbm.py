@@ -3,10 +3,10 @@
 One module owns every memory constant the streaming row-block sizing uses,
 so the encode transient reserve (`ligero.encode_rows_lowmem`) and the
 block sizing (`core/streaming._row_block_for`) can never silently
-desynchronize.  The usable-HBM figure is PROBED, not guessed: the backend
-reports `memory_stats()` where supported; otherwise a one-time allocation
-ladder finds the largest power-of-two buffer the runtime will grant and the
-result is cached for the process.  Env overrides (all bytes):
+desynchronize.  The usable-HBM figure comes from the backend's
+`memory_stats()` where supported, else a device-kind table (v2..v6), else
+a conservative 10 GiB default with a warning; the result is cached for the
+process.  Env overrides (all bytes):
 
   LCPC_HBM_BYTES          usable device memory (skips the probe)
   LCPC_STREAM_BYTES       cap on the per-row-block transient budget
@@ -107,8 +107,11 @@ def _probe() -> int:
     for tag, gib in _TPU_HBM_GIB:
         if tag in kind:
             return int((gib << 30) * _USABLE_FRACTION)
-    raise RuntimeError(
-        f"unknown device kind {kind!r}: set LCPC_HBM_BYTES to the usable "
-        "device-memory byte count explicitly (physical HBM minus the "
-        "runtime reserve; ~62% of physical is a safe start)"
+    import warnings
+
+    warnings.warn(
+        f"unknown device kind {kind!r}: assuming 10 GiB of usable device "
+        "memory; set LCPC_HBM_BYTES to the real figure (physical HBM minus "
+        "the runtime reserve; ~62% of physical is a safe start)"
     )
+    return 10 << 30

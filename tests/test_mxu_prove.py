@@ -63,10 +63,12 @@ def test_mxu_column_eval_matches_gather():
     got = np.asarray(ev.eval_block(mat_dev))
     assert np.array_equal(got, want)
 
-    # multi-chunk contraction over npr
+    # multi-super-chunk contraction over npr, incl. split-accumulation
     ev2 = MxuColumnEval(enc)
-    ev2.chunk, ev2.n_chunks = 16, npr // 16
-    ev2.plan = ReducePlan(spec, 16)
+    ev2.chunk, ev2.n_acc = 8, 2
+    ev2.super_len = 16
+    ev2.n_super = npr // 16
+    ev2.plan = ReducePlan(spec, 16, split_acc=True)
     ev2.set_columns(cols)
     got2 = np.asarray(ev2.eval_block(mat_dev))
     assert np.array_equal(got2, want)
@@ -115,3 +117,28 @@ def test_streaming_prove_mxu_paths_match(monkeypatch):
     for i, c in enumerate(coeffs):
         want = (want + c * pow(x, i, spec.p)) % spec.p
     assert got == want
+
+
+def test_eval_conv_wrap_accumulation_exact():
+    """The eval conv contracts past the int32-positive cap by relying on
+    two's-complement wraparound + uint32 bitcast; worst-case digits (all
+    0x7F) must still reduce exactly."""
+    import jax.numpy as jnp
+    from lcpc_tpu.ops.mxu_ntt import _conv_digits, conv_cap
+    from lcpc_tpu.ops.mxu_prove import _eval_chunking
+
+    spec = FT255
+    chunk, n_acc = _eval_chunking(spec, 1 << 20)
+    assert chunk > conv_cap(spec)  # the wrap regime is actually exercised
+    w7 = 37
+    rows, k = 8, 4
+    x7 = jnp.full((w7, rows, chunk), 127, dtype=jnp.int8)
+    k7 = jnp.full((w7, chunk, k), 127, dtype=jnp.int8)
+    import jax
+
+    pl = jax.lax.bitcast_convert_type(_conv_digits(x7, k7), jnp.uint32)
+    got = np.asarray(pl)
+    # center plane accumulates w7 * 127^2 * chunk — past 2^31, below 2^32
+    center = w7 * 127 * 127 * chunk
+    assert center >= (1 << 31)
+    assert got[w7 - 1, 0, 0] == center % (1 << 32) == center
