@@ -40,6 +40,10 @@ from .encoding import LcEncoding
 
 ZERO_DIGEST = bytes(32)  # Output::<D>::default() used for padding (lib.rs:665)
 
+# diagnostics: times verify's sibling-digest dedup hit value-inconsistent
+# position groups and fell back to by-value dedup (adversarial input only)
+_dedup_value_fallbacks = 0
+
 
 def _next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length() if x > 1 else 1
@@ -270,10 +274,25 @@ class LcEvalProof:
 
 
 class ProverError(Exception):
-    pass
+    """Typed prover failure (ProverError, lcpc-2d/src/lib.rs:111-132).
+
+    kinds: "TooBig" (encoding cannot produce dims), "Encode" (row encode
+    failed), "Commit" (inconsistent commitment fields), "ColumnNumber"
+    (opened column out of range), "OuterTensor" (wrong tensor size).
+    """
+
+    def __init__(self, kind: str, msg: "str | None" = None):
+        super().__init__(msg or kind)
+        self.kind = kind
 
 
 class VerifierError(Exception):
+    """Typed verifier failure (VerifierError, lcpc-2d/src/lib.rs:138-169).
+
+    kinds: "NumColOpens", "ColumnPath", "ColumnEval", "ColumnDegree",
+    "OuterTensor", "InnerTensor", "EncodingDims", "Encode".
+    """
+
     def __init__(self, kind: str):
         super().__init__(kind)
         self.kind = kind
@@ -333,7 +352,10 @@ def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding,
     n_rows, n_per_row, n_cols = enc.get_dims(length)
     assert n_rows * n_per_row >= length
     assert (n_rows - 1) * n_per_row < length
-    assert enc.dims_ok(n_per_row, n_cols)
+    if not enc.dims_ok(n_per_row, n_cols):
+        # get_dims produced dims the encoding rejects — the reference's
+        # ProverError::TooBig path (lib.rs:627, encoding Err on get_dims)
+        raise ProverError("TooBig", "n_cols is too large for this encoding")
 
     pad = n_rows * n_per_row - length
     arr = jnp.asarray(arr)
@@ -518,7 +540,7 @@ def prove_core(enc: LcEncoding, tr: Transcript, n_rows: int, n_cols: int,
     spec = enc.spec
     ops = get_ops(spec)
     if len(outer_tensor) != n_rows:
-        raise ProverError("outer tensor: wrong size")
+        raise ProverError("OuterTensor", "outer tensor: wrong size")
 
     n_degree_tests_ = enc.get_n_degree_tests()
     # the eval collapse rides the final degree-test dispatch, so the loop
@@ -719,7 +741,10 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     # rectangular arrays, so malformed shapes must be rejected up front with
     # the same error kinds instead of crashing the array builders.
     n_degree_tests_ = enc.get_n_degree_tests()
-    if proof.n_degree_rows() != n_degree_tests_:
+    # the reference indexes proof.p_random_vec[0..ndt) (lib.rs:868-894):
+    # EXTRA rows are silently ignored; MISSING rows are an index panic
+    # there — here a typed failure instead (deliberate graceful deviation)
+    if proof.n_degree_rows() < n_degree_tests_:
         raise VerifierError("EncodingDims")
     try:
         # int-backed proofs re-encode here; to_repr's range assert rejects
@@ -731,8 +756,14 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     except (AssertionError, OverflowError):
         raise VerifierError("EncodingDims")
     for rows_i in p_random_rows:
-        if rows_i.shape[0] != n_per_row or not _rows_lt_p(spec, rows_i):
+        if rows_i.shape[0] > n_cols:
+            # the reference zero-pads each p_random row to n_cols and
+            # encodes; a LONGER row fails inside enc.encode ->
+            # VerifierError::Encode (lib.rs:882-888)
+            raise VerifierError("Encode")
+        if not _rows_lt_p(spec, rows_i):
             raise VerifierError("EncodingDims")
+    odd_rows = any(r.shape[0] != n_per_row for r in p_random_rows)
     if not _rows_lt_p(spec, p_eval_rows):
         raise VerifierError("EncodingDims")
     expected_path_len = max(0, _next_pow2(n_cols).bit_length() - 1)
@@ -773,11 +804,23 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     # every opened column's degree/eval dot products and Merkle path.  The
     # rows and columns ride the link as packed u32 words (half the bytes).
     T = n_degree_tests_ + 1
-    rows_w = np.stack(
-        [np.ascontiguousarray(r).view("<u4") for r in p_random_rows]
-        + [np.ascontiguousarray(p_eval_rows).view("<u4")],
-        axis=0,
-    )  # (T, n_per_row, W/2) canonical repr words
+    if odd_rows:
+        # wrong-LENGTH p_random rows (<= n_cols) are valid inputs to the
+        # reference verifier — it zero-pads to n_cols and encodes
+        # (lib.rs:882-888), and the mismatch surfaces as a ColumnDegree
+        # failure.  The batched device encode needs uniform row lengths, so
+        # this adversarial-only shape takes the bit-exact host twin.
+        cols_list = []
+        for r_ in p_random_rows + [p_eval_rows]:
+            cw = enc.encode_row_host(_repr_rows_to_ints(r_))
+            cols_list.append(ops.encode_host(cw))
+        enc_rows = jnp.asarray(np.stack(cols_list, axis=1))  # (W, T, nc)
+    else:
+        rows_w = np.stack(
+            [np.ascontiguousarray(r).view("<u4") for r in p_random_rows]
+            + [np.ascontiguousarray(p_eval_rows).view("<u4")],
+            axis=0,
+        )  # (T, n_per_row, W/2) canonical repr words
 
     ts = np.stack(
         [ops.encode_host(t) for t in rand_tensors] + [ops.encode_host(outer_tensor)],
@@ -802,6 +845,8 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     )
     uniq_bytes = flat[first_idx]  # (U, 32) representative per position
     if not np.array_equal(uniq_bytes[inv], flat):
+        global _dedup_value_fallbacks
+        _dedup_value_fallbacks += 1  # adversarial-only; counted for tests
         uniq_v, inv = np.unique(
             flat.view([("v", "V32")]).reshape(-1), return_inverse=True
         )
@@ -815,7 +860,8 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     bits = ((col_bits[None, :] >> np.arange(path_len)[:, None]) & 1).astype(bool)
     root_w = np.frombuffer(root, dtype="<u4").astype(np.uint32)
 
-    enc_rows = _rows_encode_fn(enc)(linktime.push(rows_w))  # async dispatch
+    if not odd_rows:
+        enc_rows = _rows_encode_fn(enc)(linktime.push(rows_w))  # async dispatch
     flags = linktime.pull(
         _verify_core_fn(ops, digest)(
             enc_rows, linktime.push(ts), linktime.push(col_w),

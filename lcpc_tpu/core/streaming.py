@@ -805,7 +805,7 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
     spec = enc.spec
     ops = get_ops(spec)
     if len(outer_tensor) != comm.n_rows:
-        raise ProverError("outer tensor: wrong size")
+        raise ProverError("OuterTensor", "outer tensor: wrong size")
 
     # same size gate as protocol.prove: below ~2^22 elements the
     # single-dispatch VPU collapse has lower latency than the digit kernel's

@@ -168,8 +168,14 @@ def test_malformed_proof_typed_errors(setup):
     expect("NumColOpens", lambda pf: pf.columns.pop())
     # truncated p_random_vec (missing degree test)
     expect("EncodingDims", lambda pf: pf.p_random_vec.pop())
-    # truncated p_random row
-    expect("EncodingDims", lambda pf: pf.p_random_vec[0].pop())
+    # truncated p_random row: the reference zero-pads it to n_cols, encodes,
+    # and the mismatch surfaces as a degree-test dot-product failure
+    # (lib.rs:882-888 + 938-942) — exercised via the host-twin encode path
+    expect("ColumnDegree", lambda pf: pf.p_random_vec[0].pop())
+    # over-LONG p_random row (> n_cols): the reference's enc.encode rejects
+    # it -> VerifierError::Encode
+    expect("Encode", lambda pf: pf.p_random_vec[0].extend(
+        [1] * (enc.n_cols + 1 - len(pf.p_random_vec[0]))))
     # out-of-field value in p_random
     expect("EncodingDims",
            lambda pf: pf.p_random_vec[0].__setitem__(0, spec.p))
@@ -202,4 +208,60 @@ def test_verifier_error_inner_outer_tensor(setup):
     assert ei.value.kind == "InnerTensor"
     with pytest.raises(protocol.VerifierError) as ei:
         pf.verify(root, outer[:-1], inner, enc, _preamble(enc, root))
+    assert ei.value.kind == "OuterTensor"
+
+
+def test_extra_degree_rows_ignored(setup):
+    """The reference indexes p_random_vec[0..ndt) and silently ignores any
+    extra rows (lib.rs:868-894); verification must still succeed."""
+    import copy
+
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    root = comm.get_root()
+    x = random.Random(11).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, comm.n_per_row, comm.n_rows)
+    pf = comm.prove(outer, _preamble(enc, root))
+    pf.p_random_vec = copy.deepcopy(pf.p_random_vec)
+    pf.p_random_vec.append([1] * comm.n_per_row)  # extra, must be ignored
+    got = pf.verify(root, outer, inner, enc, _preamble(enc, root))
+    want = 0
+    for c in reversed(coeffs):
+        want = (want * x + c) % spec.p
+    assert got == want
+
+
+def test_adversarial_sibling_dedup_fallback(setup):
+    """A proof whose openings disagree about a shared tree position must
+    drive verify's by-value dedup fallback AND be rejected (the fast
+    position-grouped dedup is only valid when groups are value-consistent;
+    protocol.py documents the fallback as adversarial-only)."""
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    root = comm.get_root()
+    x = random.Random(12).randrange(spec.p)
+    inner, outer = _tensors_for_eval(spec, x, comm.n_per_row, comm.n_rows)
+    pf = comm.prove(outer, _preamble(enc, root))
+    pf.columns = [
+        protocol.LcColumn(col_mont=c.col_mont.copy(), path=list(c.path))
+        for c in pf.columns
+    ]
+    # find two opened columns sharing a top-level sibling position and make
+    # their digests disagree there (honest proofs always agree by value)
+    lvl = len(pf.columns[0].path) - 1
+    tampered = pf.columns[0]
+    tampered.path[lvl] = bytes(32)
+    before = protocol._dedup_value_fallbacks
+    with pytest.raises(protocol.VerifierError) as ei:
+        pf.verify(root, outer, inner, enc, _preamble(enc, root))
+    assert ei.value.kind == "ColumnPath"
+    assert protocol._dedup_value_fallbacks == before + 1, (
+        "the value-dedup fallback was not exercised")
+
+
+def test_prover_error_kinds(setup):
+    spec, coeffs, enc = setup
+    comm = protocol.commit(coeffs, enc)
+    with pytest.raises(protocol.ProverError) as ei:
+        comm.prove([1] * (comm.n_rows + 1), _preamble(enc, comm.get_root()))
     assert ei.value.kind == "OuterTensor"
