@@ -29,7 +29,11 @@ import numpy as np
 
 from ..fields.spec import FieldSpec
 
-MASK16 = jnp.uint32(0xFFFF)
+# np scalar, NOT jnp: a module-level jnp.uint32 initializes the XLA backend
+# at import time, which breaks jax.distributed.initialize for any process
+# that imports lcpc_tpu before calling it (multi-host entry).  Inside traces
+# the np scalar binds identically.
+MASK16 = np.uint32(0xFFFF)
 
 
 def _spec_limbs16(value: int, w: int) -> np.ndarray:

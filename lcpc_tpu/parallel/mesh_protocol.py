@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.encoding import LcEncoding
 from ..core import protocol
+from . import multihost
 from ..core.protocol import LcColumn, LcEvalProof, _next_pow2, _pack_words
 from ..fs.merlin import Transcript
 from ..ops import blake3_jax
@@ -315,15 +316,15 @@ def sharded_commit(coeffs, enc: LcEncoding, mesh: Mesh,
     mat = arr.reshape(ops.w, n_rows_pad, n_per_row)
     # coeffs stay row-sharded either way: the collapse (prove) partials are
     # row-local and pad rows contribute zero
-    coeffs_sh = jax.device_put(mat, NamedSharding(mesh, P(None, axis, None)))
+    coeffs_sh = multihost.put_sharded(mat, mesh, P(None, axis, None))
 
     if wide:
         a, b = _wide_split(n_cols)
         x = jnp.pad(mat[:, :n_rows, :], [(0, 0), (0, 0),
                                          (0, n_cols - n_per_row)])
         x = x.reshape(ops.w, n_rows, a, b)
-        x_sh = jax.device_put(
-            x, NamedSharding(mesh, P(None, None, None, axis))
+        x_sh = multihost.put_sharded(
+            x, mesh, P(None, None, None, axis)
         )
         flat, comm_cols = _commit_fn_wide(enc, mesh, n_rows, digest)[0](x_sh)
     else:
@@ -406,7 +407,7 @@ def sharded_prove(comm: ShardedCommit, outer_tensor: list[int],
         assert r == comm.n_rows
         if n_rows_pad > r:
             ts = np.pad(ts, [(0, 0), (0, 0), (0, n_rows_pad - r)])
-        ts_sh = jax.device_put(ts, NamedSharding(mesh, P(None, None, axis)))
+        ts_sh = multihost.put_sharded(ts, mesh, P(None, None, axis))
         return np.asarray(
             jax.device_get(_collapse_fn(enc, mesh)(ts_sh, comm.coeffs))
         )
