@@ -135,6 +135,10 @@ class HostCoeffSource(CoeffSource):
         return dev.reshape(-1, r1 - r0, npr)
 
 
+# concurrent chunk draws per generator step (see _gen_span_fn)
+_GEN_BATCH = 64
+
+
 @functools.lru_cache(maxsize=32)
 def _gen_span_fn(spec: FieldSpec, chunk: int, n_chunks: int):
     """Digit-plane generator: (W7, n_chunks*chunk) uint8 7-bit digits.
@@ -165,9 +169,22 @@ def _gen_span_fn(spec: FieldSpec, chunk: int, n_chunks: int):
         return raw & jnp.asarray(mask_np)
 
     def gen(key, c0):
-        ds = jax.vmap(lambda c: one(key, c), out_axes=1)(
-            c0 + jnp.arange(n_chunks)
-        )  # (w7, n_chunks, chunk)
+        if n_chunks <= _GEN_BATCH:
+            ds = jax.vmap(lambda c: one(key, c), out_axes=1)(
+                c0 + jnp.arange(n_chunks)
+            )  # (w7, n_chunks, chunk)
+        else:
+            # big spans (prove regenerates 128+-row blocks in one call):
+            # an unbatched vmap materializes threefry's u32 halves for the
+            # WHOLE span at once — ~6x the u8 output, 30 GB at a 5 GB span —
+            # so batch the draw; 64-way keeps the generator at full rate
+            # (rate saturates by 64 concurrent chunk draws, see above) while
+            # bounding the transient to the batch's share
+            ds = jax.lax.map(
+                lambda c: one(key, c), c0 + jnp.arange(n_chunks),
+                batch_size=_GEN_BATCH,
+            )  # (n_chunks, w7, chunk)
+            ds = jnp.transpose(ds, (1, 0, 2))
         return ds.reshape(w7, n_chunks * chunk)
 
     return jax.jit(gen)

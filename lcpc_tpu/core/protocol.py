@@ -332,6 +332,68 @@ def _hash_and_merkleize(ops, comm: jnp.ndarray, n_cols_np2: int,
     return layers
 
 
+# Above this many encoded-matrix elements the fused one-dispatch commit
+# stops paying: compile time grows with the inlined ladder and the unfused
+# path's per-stage dispatches are amortized anyway (dispatch latency is
+# ~4 ms on the tunneled link vs >100 ms of device work at 2^21+).
+_FUSED_COMMIT_MAX = 1 << 22
+
+_fused_commit_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _commit_fused_fn(enc: LcEncoding, digest: DeviceDigest):
+    """One-dispatch commit core: pad -> encode -> hash -> full Merkle.
+
+    Small commits on this rig are dispatch-bound — ~10 sequential device
+    calls (encode, canonicalize/pack, column hash, one per Merkle layer)
+    put a ~45 ms floor under a 2^13 commit whose device work is ~1 ms
+    (baseline 14.9 ms, 20210807_64c_255bit_ligero_dfl.txt:1).  Fusing the
+    whole pipeline into one jit leaves one dispatch + the root pull.
+    Returns fn(arr (W, len)) -> (mat, comm, flat_hashes).
+    """
+    key = digest.name
+    per_enc = _fused_commit_cache.setdefault(enc, {})
+    fn = per_enc.get(key)
+    if fn is None:
+        ops = get_ops(enc.spec)
+        if hasattr(enc, "_device_mats"):
+            enc._device_mats()  # materialize device constants outside the trace
+
+        def core(arr, mats):
+            length = arr.shape[1]
+            npr = enc.n_per_row
+            n_rows = -(-length // npr)
+            pad = n_rows * npr - length
+            if pad:
+                arr_p = jnp.pad(arr, [(0, 0), (0, pad)])
+            else:
+                arr_p = arr
+            mat = arr_p.reshape(ops.w, n_rows, npr)
+            comm = (enc.encode_rows_core(mat, mats) if mats is not None
+                    else enc.encode_rows(mat))
+            words = _pack_words(ops, ops.from_mont(comm))
+            leaves = digest.hash_word_columns(words)
+            n_cols = comm.shape[2]
+            np2 = _next_pow2(n_cols)
+            if np2 > n_cols:
+                leaves = jnp.pad(leaves, [(0, 0), (0, np2 - n_cols)])
+            layers = [leaves]
+            while layers[-1].shape[1] > 1:
+                layers.append(digest.merkle_layer(layers[-1]))
+            return mat, comm, jnp.concatenate(layers, axis=1)
+
+        if hasattr(enc, "encode_rows_core"):
+            # big device matrices (Brakedown) thread as jit ARGUMENTS —
+            # closed over, they embed in the serialized HLO (HTTP 413)
+            jitted = jax.jit(core)
+            fn = lambda arr: jitted(arr, enc.encode_mats())
+        else:
+            jitted = jax.jit(lambda arr: core(arr, None))
+            fn = jitted
+        per_enc[key] = fn
+    return fn
+
+
 def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding,
            digest: DeviceDigest = BLAKE3) -> LcCommit:
     """Commit to a polynomial (lib.rs:622-671).
@@ -357,20 +419,23 @@ def commit(coeffs: "list[int] | np.ndarray | jnp.ndarray", enc: LcEncoding,
         # ProverError::TooBig path (lib.rs:627, encoding Err on get_dims)
         raise ProverError("TooBig", "n_cols is too large for this encoding")
 
-    pad = n_rows * n_per_row - length
     arr = jnp.asarray(arr)
-    if pad:
-        arr = jnp.pad(arr, [(0, 0), (0, pad)])
-    mat = arr.reshape(ops.w, n_rows, n_per_row)
-    comm_mat = enc.encode_rows(mat)  # (W, n_rows, n_cols)
-
     n_cols_np2 = _next_pow2(n_cols)
-    layers = _hash_and_merkleize(ops, comm_mat, n_cols_np2, digest)
-
-    # flatten layers to the reference's hashes vec (leaves first); stays on
-    # device — prove gathers the few needed path nodes there, and the full
-    # byte view (serialization) materializes lazily
-    flat = jnp.concatenate(layers, axis=1)  # (8, 2*np2-1)
+    if n_rows * n_cols <= _FUSED_COMMIT_MAX:
+        # small shapes: one dispatch for the whole pipeline (dispatch
+        # latency dominates sub-2^21 commits on the tunneled link)
+        mat, comm_mat, flat = _commit_fused_fn(enc, digest)(arr)
+    else:
+        pad = n_rows * n_per_row - length
+        if pad:
+            arr = jnp.pad(arr, [(0, 0), (0, pad)])
+        mat = arr.reshape(ops.w, n_rows, n_per_row)
+        comm_mat = enc.encode_rows(mat)  # (W, n_rows, n_cols)
+        layers = _hash_and_merkleize(ops, comm_mat, n_cols_np2, digest)
+        # flatten layers to the reference's hashes vec (leaves first); stays
+        # on device — prove gathers the few needed path nodes there, and the
+        # full byte view (serialization) materializes lazily
+        flat = jnp.concatenate(layers, axis=1)  # (8, 2*np2-1)
     assert flat.shape[1] == 2 * n_cols_np2 - 1
 
     return LcCommit(

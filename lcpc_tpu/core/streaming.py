@@ -791,8 +791,13 @@ def _prove_block_source(comm: LcCommitStreaming):
     if comm.coeffs is not None:
         return (lambda r0, r1: comm.coeffs[:, r0:r1, :]), "limbs", ops.w * 4
     if hasattr(comm.source, "block_digits"):
+        # in-flight bytes per element: the at-rest digit planes (w7) plus
+        # the generator's bounded transients — lax.map batching caps the
+        # threefry halves at a batch's share, but the post-map transpose
+        # still copies the whole span once, so budget ~3x the plane bytes
+        # (sized at 2^29: 128-row blocks, ~1.2 GB at rest + ~2.5 GB gen)
         w7 = (comm.enc.spec.num_bits + 6) // 7
-        return comm.source.block_digits, "digits", w7
+        return comm.source.block_digits, "digits", 3 * w7
     return comm.source.block, "limbs", ops.w * 4
 
 
