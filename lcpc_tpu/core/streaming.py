@@ -514,6 +514,7 @@ class LcCommitStreaming:
     row_block: int
     digest: DeviceDigest = BLAKE3
     words_dev: "jnp.ndarray | None" = None  # (n_rows*W/2, n_cols) canonical
+    words_off: int = 0  # words_dev holds columns [words_off:] only (tail keep)
     words_host: "np.ndarray | None" = None  # same layout, host RAM spill
     packed: bool = False  # coeffs held as (W/2, n_rows, n_per_row) u32 words
     _hashes_np: "np.ndarray | None" = None
@@ -647,6 +648,22 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     else:
         keep = spill == "device"
     host_spill = spill == "host"
+    # tail keep: systematic encodings (Brakedown: codeword = [x | z | v],
+    # encode.rs:36-94) don't need the first n_per_row columns retained —
+    # those ARE the coefficients, which prove can gather from the resident
+    # matrix / regenerate from the source.  When the full codeword misses
+    # the keep budget, retaining just the non-systematic tail (~35% of the
+    # sdig codeword) turns prove's column opening from a full re-encode of
+    # every block (~a second commit) into two gathers.
+    words_off = 0
+    sys_pref = getattr(enc, "systematic_prefix", 0)
+    if (spill == "auto" and not keep and sys_pref
+            and not isinstance(source, coeffs_mod.HostCoeffSource)):
+        tail_bytes = n_rows * wpe * (n_cols - sys_pref) * 4
+        if tail_bytes <= hbm_budget.keep_bytes_budget():
+            keep = True
+            words_off = sys_pref
+            keep_bytes = tail_bytes
 
     # arrays resident for the whole commit, which the block transients must
     # fit alongside: coefficients, the retained codeword, hasher carry state
@@ -670,11 +687,13 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
     else:
         encode_pack = _encode_pack_fn(enc)
         get_block = source.block
-    words_dev = jnp.zeros((n_rows * wpe, n_cols), jnp.uint32) if keep else None
+    words_dev = (jnp.zeros((n_rows * wpe, n_cols - words_off), jnp.uint32)
+                 if keep else None)
     words_host = (np.empty((n_rows * wpe, n_cols), np.uint32)
                   if host_spill else None)
     write = jax.jit(
-        lambda buf, w, i: jax.lax.dynamic_update_slice(buf, w, (i, 0)),
+        lambda buf, w, i: jax.lax.dynamic_update_slice(
+            buf, w[:, words_off:], (i, 0)),
         donate_argnums=0,
     )
 
@@ -710,7 +729,8 @@ def commit_streaming(coeffs, enc: LcEncoding, row_block: int | None = None,
         coeffs=source._mat if array_backed else None,
         n_rows=n_rows, n_per_row=n_per_row,
         n_cols=n_cols, hashes_dev=flat, row_block=rb, digest=digest,
-        words_dev=words_dev, words_host=words_host, packed=src_packed,
+        words_dev=words_dev, words_off=words_off, words_host=words_host,
+        packed=src_packed,
     )
 
 
@@ -728,6 +748,30 @@ def _collapse_block_fns(ops):
         return jnp.transpose(words, (1, 2, 0))
 
     return jax.jit(block), jax.jit(ops.add), jax.jit(pack_tc)
+
+
+@functools.lru_cache(maxsize=8)
+def _sys_pack_fn(ops):
+    """Jitted: Montgomery limb block -> packed proof words of taken columns.
+
+    Systematic column c < n_per_row of a Brakedown codeword IS coefficient
+    column c (encode.rs:36-94 layout [x | z | v]), already in the proof's
+    Montgomery form — no canonicalize/to_mont round trip."""
+
+    def g(block, idx):
+        cols = jnp.take(block, idx, axis=2)  # (W, m, k)
+        return cols[0::2] | (cols[1::2] << jnp.uint32(16))
+
+    return jax.jit(g)
+
+
+@functools.lru_cache(maxsize=8)
+def _merge_sys_tail_fn(ops):
+    return jax.jit(
+        lambda sys_w, tail_w, is_sys: jnp.where(
+            is_sys[None, None, :], sys_w, tail_w
+        )
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -903,7 +947,42 @@ def prove_streaming(comm: LcCommitStreaming, outer_tensor: list[int],
     idx = jnp.asarray(np.asarray(cols_to_open, dtype=np.int32))
     path_idx = protocol.path_node_indices(comm.n_cols, cols_to_open)
     uniq, inv = np.unique(path_idx.reshape(-1), return_inverse=True)
-    if comm.words_dev is not None:
+    if comm.words_dev is not None and comm.words_off:
+        # tail keep: words_dev holds only the non-systematic columns.
+        # Opened systematic columns gather straight from the (resident or
+        # regenerated) Montgomery coefficients; the rest from the retained
+        # canonical tail; one where() merges and one pull ships the proof.
+        off = comm.words_off
+        idx_np = np.asarray(cols_to_open, dtype=np.int64)
+        tail_idx = jnp.asarray(np.maximum(idx_np - off, 0).astype(np.int32))
+        tail_w, path_digs = _gather_canon_fn(ops)(
+            comm.words_dev, comm.hashes_dev, tail_idx,
+            jnp.asarray(uniq.astype(np.int32)),
+        )
+        sys_idx = jnp.asarray(np.minimum(idx_np, off - 1).astype(np.int32))
+        if comm.coeffs is not None and comm.packed:
+            sys_w = jax.jit(lambda c, i: jnp.take(c, i, axis=2))(
+                comm.coeffs, sys_idx)
+        elif comm.coeffs is not None:
+            sys_w = _sys_pack_fn(ops)(comm.coeffs, sys_idx)
+        else:
+            # source-backed: regenerate limb blocks (commit-sized blocks —
+            # the limb form is ~2x the digit planes) and take columns
+            k = len(cols_to_open)
+            buf = jnp.zeros((ops.w // 2, comm.n_rows, k), jnp.uint32)
+            wr = jax.jit(
+                lambda b, w, i: jax.lax.dynamic_update_slice(b, w, (0, i, 0)),
+                donate_argnums=0,
+            )
+            for r0 in range(0, comm.n_rows, comm.row_block):
+                r1 = min(r0 + comm.row_block, comm.n_rows)
+                buf = wr(buf, _sys_pack_fn(ops)(
+                    comm.source.block(r0, r1), sys_idx), r0)
+            sys_w = buf
+        is_sys = jnp.asarray(idx_np < off)
+        col_w = linktime.pull(
+            _merge_sys_tail_fn(ops)(sys_w, tail_w, is_sys))
+    elif comm.words_dev is not None:
         col_w_dev, path_digs = _gather_canon_fn(ops)(
             comm.words_dev, comm.hashes_dev, idx,
             jnp.asarray(uniq.astype(np.int32)),

@@ -527,6 +527,13 @@ class SdigEncoding(LcEncoding):
         self._dev = None
         self._encode_jit = None
 
+    @property
+    def systematic_prefix(self) -> int:
+        """Codeword columns [0, n_per_row) are the coefficients verbatim
+        (layout [x | z | v], encode.rs:36-94) — lets the streaming commit
+        retain only the non-systematic tail (core/streaming tail keep)."""
+        return self.n_per_row
+
     # ---- constructors (lib.rs:69-137) ----------------------------------------
 
     @classmethod

@@ -49,6 +49,9 @@ def main():
                          "for the collapse")
     ap.add_argument("--row-block", type=int, default=None,
                     help="override the auto row-block sizing (streaming)")
+    ap.add_argument("--util", action="store_true",
+                    help="emit #util lines (algorithmic Mmul/s per stage; "
+                         "lcpc_tpu/utils/flops.py)")
     ap.add_argument("--spill", default="auto",
                     choices=["auto", "device", "host", "none"],
                     help="streaming codeword retention policy")
@@ -159,6 +162,13 @@ def main():
             times.append(time.time() - t0)
         commit_ns = int(sorted(times)[len(times) // 2] * 1e9)
         print(f"{lgl}: {commit_ns}", flush=True)
+        if args.util:
+            from lcpc_tpu.utils import flops
+
+            print(flops.util_line(
+                "commit", lgl, flops.commit_modmuls(enc, com.get_n_rows()),
+                commit_ns * 1e-9, args.field,
+            ), flush=True)
 
         if args.pvs:
             outer, inner = univariate_tensors(
@@ -211,6 +221,22 @@ def main():
             # benchmarks/README.md) — what a PCIe-attached host would see
             print(f"#compute {lgl}: {int(sorted(p_comp)[1] * 1e9)} "
                   f"{int(sorted(v_comp)[1] * 1e9)} {len(blob)}", flush=True)
+            if args.util:
+                from lcpc_tpu.utils import flops
+
+                # rates over the compute-only medians: kernel efficiency,
+                # not the tunnel's share
+                print(flops.util_line(
+                    "prove", lgl,
+                    flops.prove_modmuls(enc, com.get_n_rows(),
+                                        com.get_n_per_row()),
+                    sorted(p_comp)[1], args.field,
+                ), flush=True)
+                print(flops.util_line(
+                    "verify", lgl,
+                    flops.verify_modmuls(enc, com.get_n_rows()),
+                    sorted(v_comp)[1], args.field,
+                ), flush=True)
 
 
 if __name__ == "__main__":

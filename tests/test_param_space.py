@@ -120,3 +120,23 @@ def test_high_rate_ligero_e2e():
 def test_high_rate_isz_opens():
     # the exact `isz` feature rate (rho = 38/39, tests.rs:59-64)
     assert LigeroEncoding.n_col_opens_static(38, 39) == 6876
+
+
+def test_flops_counts():
+    # utilization counters (utils/flops.py): NTT butterfly count and the
+    # expander nnz count must match first-principles recomputation
+    from lcpc_tpu.utils import flops
+    from lcpc_tpu.encodings.brakedown import SdigEncoding
+
+    enc = LigeroEncoding.new_from_dims(FT63, 64, 256)
+    assert flops.ligero_encode_modmuls(enc, 3) == 3 * 128 * 8
+    senc = SdigEncoding(FT63, 600, 0)
+    nnz = sum(m.row_idx.shape[0] for m in senc.precodes + senc.postcodes)
+    nb = senc.precodes[-1].n_out
+    rs = senc.postcodes[-1].n_in
+    assert flops.sdig_encode_modmuls(senc, 2) == 2 * (nnz + nb * rs)
+    ndt = enc.get_n_degree_tests()
+    assert flops.prove_modmuls(enc, 5, 64) == (ndt + 1) * 5 * 64
+    line = flops.util_line("commit", 13, 10_000_000, 0.01, "ft63")
+    assert line.startswith("#util 13: commit mmul=10000000 ")
+    assert "vs_vpu_peak=" in line

@@ -2,6 +2,8 @@
 
 import random
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -235,3 +237,65 @@ def test_host_source_and_host_spill():
     for i, c in enumerate(coeffs):
         want = (want + c * pow(x, i, spec.p)) % spec.p
     assert got == want
+
+
+@pytest.mark.parametrize("src_kind", ["packed", "seeded", "limbs"])
+def test_tail_keep_brakedown(src_kind, monkeypatch):
+    """Tail keep: when the full codeword misses the keep budget but the
+    non-systematic tail fits, a Brakedown streaming commit retains only
+    columns [n_per_row:) and prove merges systematic columns gathered from
+    the coefficients with tail columns from the retained buffer — proof
+    bit-identical to the in-memory prover."""
+    from lcpc_tpu.core.coeffs import SeededCoeffSource
+    from lcpc_tpu.encodings.brakedown import SdigEncoding
+    from lcpc_tpu.ops.limbs import get_ops
+
+    spec = FT63
+    ops = get_ops(spec)
+    enc = SdigEncoding(spec, 512, 0)
+    n_rows = 160  # total column words must exceed one 256-word hash chunk
+    length = 512 * n_rows
+    wpe = ops.w // 2
+    full = n_rows * wpe * enc.n_cols * 4
+    tail = n_rows * wpe * (enc.n_cols - enc.n_per_row) * 4
+    # budget between tail and full so auto picks the tail
+    monkeypatch.setenv("LCPC_STREAM_KEEP_BYTES", str((full + tail) // 2))
+
+    if src_kind == "seeded":
+        src = SeededCoeffSource(spec, length, seed=11, chunk=1 << 10)
+        arr = np.asarray(
+            SeededCoeffSource(spec, length, seed=11, chunk=1 << 10)
+            .materialize()
+        )
+        coeffs = src
+    else:
+        rng = random.Random(21)
+        vals = [rng.randrange(spec.p) for _ in range(length)]
+        arr = np.asarray(ops.encode_host(vals))
+        if src_kind == "packed":
+            coeffs = jnp.asarray(arr[0::2] | (arr[1::2] << np.uint32(16)))
+        else:
+            coeffs = jnp.asarray(arr)
+
+    mem = protocol.commit(jnp.asarray(arr[:, :length]), enc)
+    stream = streaming.commit_streaming(coeffs, enc, row_block=16)
+    assert stream.words_dev is not None
+    assert stream.words_off == enc.n_per_row
+    assert stream.words_dev.shape[1] == enc.n_cols - enc.n_per_row
+    assert stream.get_root() == mem.get_root()
+
+    x = random.Random(4).randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, mem.n_per_row, mem.n_rows)
+    pf_mem = mem.prove(outer, _preamble(enc, mem.get_root()))
+    pf_st = stream.prove(outer, _preamble(enc, stream.get_root()))
+    assert pf_st.p_eval == pf_mem.p_eval
+    for a, b in zip(pf_st.columns, pf_mem.columns):
+        assert np.array_equal(a.col_mont, b.col_mont)
+        assert a.path == b.path
+    got = pf_st.verify(
+        stream.get_root(), outer, inner, enc,
+        _preamble(enc, stream.get_root())
+    )
+    assert got == pf_mem.verify(
+        mem.get_root(), outer, inner, enc, _preamble(enc, mem.get_root())
+    )
