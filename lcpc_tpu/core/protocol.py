@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import weakref
 
 import jax
@@ -725,6 +726,83 @@ def _rows_encode_fn(enc: LcEncoding):
     return fn
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_dot_fn(ops):
+    """Jitted: Σ inner_tensor[j] * p_eval[j] mod p on device.
+
+    The reference computes the returned evaluation as a CPU dot over field
+    elements (lib.rs:947-951); at npr = 2^16 the Python-bigint equivalent
+    costs ~100 ms — more than every device stage of verify combined — so
+    the dot rides the already-uploaded proof rows instead.  Takes the
+    pushed rows_w (T, npr, W/2 canonical repr words; p_eval is the last
+    row) and the inner tensor as canonical words, returns (W,) canonical
+    limbs of the evaluation.
+    """
+
+    def f(rows_w, inner_w):
+        pe = _unpack_words_dev(jnp.transpose(rows_w[-1:], (2, 0, 1)))
+        pe_mont = ops.to_mont(pe)                       # (W, 1, npr)
+        inner = _unpack_words_dev(jnp.transpose(inner_w[None], (2, 0, 1)))
+        inner_mont = ops.to_mont(inner)                 # (W, 1, npr)
+        out = ops.collapse_canon(
+            inner_mont, jnp.transpose(pe_mont, (0, 2, 1))
+        )  # (W, 1, 1)
+        return out.reshape(-1)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=8)
+def _rows_to_mont_fn(ops):
+    """Jitted: packed repr words (T, npr, W/2) -> (W, T, npr) Montgomery."""
+
+    def f(rows_w):
+        raw = _unpack_words_dev(jnp.transpose(rows_w, (2, 0, 1)))
+        return ops.to_mont(raw)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _verify_core_cols_fn(ops, digest: DeviceDigest = BLAKE3):
+    """_verify_core_fn variant taking the encoded rows AT THE OPENED
+    COLUMNS ONLY (packed Montgomery (W/2, T, k) from MxuColumnEval).
+
+    The reference verifier encodes the T proof rows across all n_cols and
+    reads k of them (lib.rs:914-920, 985-1000); for RS codes the opened
+    values are the row polynomials at w^bitrev(c), so the k needed entries
+    come straight off the MXU eval kernel (bit-identical to encode+take —
+    the same equivalence prove's column opening relies on) without paying
+    the full-width NTT.
+    """
+
+    def core(want_w, ts, col_w, uniq_sibs, inv, bits, root_w, eval_w):
+        col_mat = _unpack_words_dev(col_w)                # (W, R, k)
+        got = ops.collapse_canon(ts, col_mat)             # (W, T, k) canonical
+        want = ops.from_mont(_unpack_words_dev(want_w))   # (W, T, k)
+        ok_rows = jnp.all(got == want, axis=(0, 2))       # (T,)
+
+        canon = ops.from_mont(col_mat)
+        words = _pack_words(ops, canon)
+        digs = digest.hash_word_columns(words)            # (8, k)
+        for lvl in range(inv.shape[0]):
+            s = jnp.take(uniq_sibs, inv[lvl], axis=1)     # (8, k)
+            is_right = bits[lvl]
+            left = jnp.where(is_right, s, digs)
+            right = jnp.where(is_right, digs, s)
+            digs = digest.merkle_parent(left, right)
+        ok_path = jnp.all(digs == root_w[:, None])
+        flags = jnp.concatenate(
+            [ok_rows.astype(jnp.uint32),
+             ok_path.astype(jnp.uint32)[None],
+             jnp.zeros((1,), jnp.uint32),
+             eval_w]  # fused evaluation limbs (see _eval_dot_fn)
+        )
+        return flags
+
+    return jax.jit(core)
+
+
 @functools.lru_cache(maxsize=None)
 def _verify_core_fn(ops, digest: DeviceDigest = BLAKE3):
     """Jitted verifier core for one (field ops, digest) pair.
@@ -748,7 +826,8 @@ def _verify_core_fn(ops, digest: DeviceDigest = BLAKE3):
     (slot T+1 reserved/unused).
     """
 
-    def core(enc_rows, ts, col_w, idx, uniq_sibs, inv, bits, root_w):
+    def core(enc_rows, ts, col_w, idx, uniq_sibs, inv, bits, root_w,
+             eval_w):
         col_mat = _unpack_words_dev(col_w)                # (W, R, k)
         got = ops.collapse_canon(ts, col_mat)             # (W, T, k) canonical
         want = ops.from_mont(jnp.take(enc_rows, idx, axis=2))
@@ -767,7 +846,8 @@ def _verify_core_fn(ops, digest: DeviceDigest = BLAKE3):
         flags = jnp.concatenate(
             [ok_rows.astype(jnp.uint32),
              ok_path.astype(jnp.uint32)[None],
-             jnp.zeros((1,), jnp.uint32)]
+             jnp.zeros((1,), jnp.uint32),
+             eval_w]  # fused evaluation limbs (see _eval_dot_fn)
         )
         return flags
 
@@ -925,15 +1005,63 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     bits = ((col_bits[None, :] >> np.arange(path_len)[:, None]) & 1).astype(bool)
     root_w = np.frombuffer(root, dtype="<u4").astype(np.uint32)
 
-    if not odd_rows:
-        enc_rows = _rows_encode_fn(enc)(linktime.push(rows_w))  # async dispatch
-    flags = linktime.pull(
-        _verify_core_fn(ops, digest)(
-            enc_rows, linktime.push(ts), linktime.push(col_w),
-            jnp.asarray(idx), linktime.push(uniq_sibs), jnp.asarray(inv),
-            jnp.asarray(bits), jnp.asarray(root_w),
-        )
+    # RS codes at mid/large N: evaluate the proof rows DIRECTLY at the k
+    # opened points on the MXU instead of the full-width re-encode (the
+    # encode's other n_cols-k outputs are never read).  Below the gate the
+    # fused ladder's single dispatch has lower latency than the eval
+    # kernel's build + extra dispatches.
+    from ..ops import mxu_prove
+
+    use_eval = (
+        not odd_rows
+        and getattr(enc, "supports_direct_col_eval", False)
+        and mxu_prove.mxu_prove_enabled(spec)
+        and (n_cols >= (1 << 17)
+             or os.environ.get("LCPC_MXU_VERIFY") == "1")
     )
+    # step 4's evaluation Σ inner·p_eval (lib.rs:947-951) fuses into the
+    # device core when the rows ride the device path: the Python-bigint dot
+    # costs ~1.5 µs/element (~100 ms at npr 2^16), dominating warm verify.
+    # Falls back to the host dot for the odd-rows twin path or unreduced
+    # inner values.
+    fuse_eval = not odd_rows and all(
+        0 <= v < spec.p for v in inner_tensor
+    )
+    if fuse_eval:
+        inner_w = ops.encode_repr_words(inner_tensor)  # (npr, W/2)
+
+    if use_eval:
+        rows_dev = linktime.push(rows_w)
+        ev = mxu_prove.MxuColumnEval(enc)
+        ev.set_columns(cols_to_open)
+        rows_mont = _rows_to_mont_fn(ops)(rows_dev)
+        want_w = ev.eval_block(rows_mont)  # (W/2, T, k) packed Montgomery
+        eval_w = (_eval_dot_fn(ops)(rows_dev, linktime.push(inner_w))
+                  if fuse_eval else jnp.zeros((ops.w,), jnp.uint32))
+        flags = linktime.pull(
+            _verify_core_cols_fn(ops, digest)(
+                want_w, linktime.push(ts), linktime.push(col_w),
+                linktime.push(uniq_sibs), jnp.asarray(inv),
+                jnp.asarray(bits), jnp.asarray(root_w), eval_w,
+            )
+        )
+    else:
+        if not odd_rows:
+            rows_dev = linktime.push(rows_w)
+            enc_rows = _rows_encode_fn(enc)(rows_dev)  # async dispatch
+            if fuse_eval:
+                eval_w = _eval_dot_fn(ops)(rows_dev, linktime.push(inner_w))
+            else:
+                eval_w = jnp.zeros((ops.w,), jnp.uint32)
+        else:
+            eval_w = jnp.zeros((ops.w,), jnp.uint32)
+        flags = linktime.pull(
+            _verify_core_fn(ops, digest)(
+                enc_rows, linktime.push(ts), linktime.push(col_w),
+                jnp.asarray(idx), linktime.push(uniq_sibs), jnp.asarray(inv),
+                jnp.asarray(bits), jnp.asarray(root_w), eval_w,
+            )
+        )
     for i in range(n_degree_tests_):
         if not flags[i]:
             raise VerifierError("ColumnDegree")
@@ -942,10 +1070,11 @@ def verify(root: bytes, outer_tensor: list[int], inner_tensor: list[int],
     if not flags[T]:
         raise VerifierError("ColumnPath")
 
-    # step 4: evaluation — computed from the row view (p_eval_rows) rather
-    # than the proof.p_eval getter, which would materialize the int list and
-    # permanently invalidate the proof's fast packed representation (a second
-    # verify of the same object would then take the slow int path)
+    if fuse_eval:
+        return int.from_bytes(
+            np.asarray(flags[T + 2:]).astype("<u2").tobytes(), "little"
+        )
+    # host twin of the evaluation dot (odd-rows path / unreduced inner)
     acc = 0
     for t_v, e_v in zip(inner_tensor, _repr_rows_to_ints(p_eval_rows)):
         acc = (acc + t_v * e_v) % spec.p

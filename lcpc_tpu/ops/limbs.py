@@ -440,6 +440,18 @@ class FieldOps:
                 out[j, i] = (m >> (16 * j)) & 0xFFFF
         return out
 
+    def encode_repr_words(self, values) -> np.ndarray:
+        """Python ints (canonical, < p) -> (n, W/2) u32 LE repr words.
+
+        Bulk path for big vectors (the verifier's inner tensor): one
+        to_bytes per value + one frombuffer, ~10x faster than the
+        per-limb Python loop in encode_host (no Montgomery multiply).
+        """
+        nbytes = (self.w // 2) * 4
+        buf = b"".join(v.to_bytes(nbytes, "little") for v in values)
+        return np.frombuffer(buf, dtype="<u4").reshape(len(values),
+                                                       self.w // 2)
+
     def decode_host(self, arr, from_mont: bool = True) -> list[int]:
         """(W, ...) limb array -> flat list of Python ints (canonical)."""
         arr = np.asarray(arr).reshape(self.w, -1)

@@ -28,6 +28,38 @@ BASE = {
         21: (0.234, 0.105, 0.270, 16175624),
         23: (None, None, None, None),
         25: (2.243, 0.281, 0.551, 50336784),
+        27: (10.69, 0.931, 2.371, 96017376),
+        29: (38.8, 2.047, 2.401, 186315104),
+    },
+    # 20210807_64c_255bit_ligero_hlf{,_pvs}.txt (rho = 1/2)
+    "hlf": {
+        13: (0.0092, 0.00452, 0.01182, 285584),
+        15: (0.0219, 0.00458, 0.00650, 442584),
+        17: (0.0624, 0.00597, 0.00960, 744224),
+        19: (0.174, 0.00962, 0.01436, 1335144),
+        21: (0.367, 0.02225, 0.02212, 2504624),
+        23: (1.043, 0.04810, 0.03500, 4831224),
+        25: (3.212, 0.146, 0.0577, 9472064),
+        27: (11.50, 0.449, 0.106, 18741384),
+        29: (45.53, 1.540, 0.201, 37267664),
+    },
+    # 20210807_64c_255bit_ligero_isz{,_pvs}.txt (rho = 38/39)
+    "isz": {
+        13: (0.0136, 0.02559, 0.00847, 4325992),
+        15: (0.0151, 0.02904, 0.01223, 5296520),
+        17: (0.0343, 0.03790, 0.01974, 6962536),
+        19: (0.0926, 0.05568, 0.03064, 10019528),
+        21: (0.254, 0.09516, 0.05056, 15858472),
+        23: (0.470, 0.161, 0.0877, 27481352),
+        25: (2.084, 0.332, 0.164, 50452008),
+        27: (7.528, 0.792, 0.325, 95898248),
+        29: (28.24, 2.130, 0.647, 186735784),
+    },
+    # 20210615_32core_96bit.txt cargo benches (Blake3; see tpu_96bit notes)
+    "ft63": {
+        16: (0.0150, None, None, None),
+        20: (0.123, None, None, None),
+        24: (1.517, None, None, None),
     },
 }
 
@@ -64,11 +96,24 @@ def main():
     for name, fname in (
         ("Ligero rho=1/4 ft255", "tpu_255bit_ligero_dfl_pvs.txt"),
         ("Brakedown code3 ft255", "tpu_255bit_sdig_pvs.txt"),
+        ("Ligero rho=1/2 ft255 (hlf)", "tpu_255bit_ligero_hlf_pvs.txt"),
+        ("Ligero rho=38/39 ft255 (isz)", "tpu_255bit_ligero_isz_pvs.txt"),
+        ("Ligero rho=1/4 ft63 (96-bit analogue)",
+         "tpu_96bit_ligero_dfl_pvs.txt"),
     ):
         path = os.path.join(HERE, "benchmarks", fname)
         if not os.path.exists(path):
             continue
-        key = "ligero" if "ligero" in fname else "sdig"
+        if "hlf" in fname:
+            key = "hlf"
+        elif "isz" in fname:
+            key = "isz"
+        elif "96bit" in fname:
+            key = "ft63"
+        elif "ligero" in fname:
+            key = "ligero"
+        else:
+            key = "sdig"
         rows = parse(path)
         print(f"\n### {name} (1 TPU v5e chip vs reference 64-core CPU; "
               f"x>1 = TPU faster)\n")

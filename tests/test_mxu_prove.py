@@ -142,3 +142,54 @@ def test_eval_conv_wrap_accumulation_exact():
     center = w7 * 127 * 127 * chunk
     assert center >= (1 << 31)
     assert got[w7 - 1, 0, 0] == center % (1 << 32) == center
+
+
+def test_mxu_verify_direct_eval_matches(monkeypatch):
+    """LCPC_MXU_VERIFY=1: the verifier's direct MXU evaluation of the proof
+    rows at the opened points must accept exactly what the full-width
+    re-encode accepts (same evaluation out), and still reject tampering."""
+    from lcpc_tpu.core import protocol
+    from lcpc_tpu.core.protocol import VerifierError
+    from lcpc_tpu.utils.tensors import univariate_tensors
+    from lcpc_tpu.fs.merlin import Transcript
+
+    monkeypatch.setenv("LCPC_MXU_PROVE", "1")
+    spec = FT63
+    rng = random.Random(91)
+    enc = LigeroEncoding.new_from_dims(spec, 64, 128)
+    length = 64 * 40 - 3
+    coeffs = [rng.randrange(spec.p) for _ in range(length)]
+
+    def preamble(root):
+        tr = Transcript(b"test transcript")
+        tr.append_message(b"polycommit", root)
+        tr.append_message(b"ncols", enc.get_n_col_opens().to_bytes(8, "big"))
+        return tr
+
+    com = protocol.commit(coeffs, enc)
+    x = rng.randrange(spec.p)
+    outer, inner = univariate_tensors(spec, x, com.n_per_row, com.n_rows)
+    pf = com.prove(outer, preamble(com.get_root()))
+
+    want = 0
+    for i, c in enumerate(coeffs):
+        want = (want + c * pow(x, i, spec.p)) % spec.p
+    got_ladder = pf.verify(
+        com.get_root(), outer, inner, enc, preamble(com.get_root()))
+    monkeypatch.setenv("LCPC_MXU_VERIFY", "1")
+    got_eval = pf.verify(
+        com.get_root(), outer, inner, enc, preamble(com.get_root()))
+    assert got_ladder == got_eval == want
+
+    # tampered p_eval must fail the degree check through the eval path too
+    import copy
+
+    pf2 = com.prove(outer, preamble(com.get_root()))
+    rows = np.array(pf2._p_eval_rows)
+    rows[0, 0] ^= 1
+    pf2._p_eval_rows = rows
+    try:
+        pf2.verify(com.get_root(), outer, inner, enc, preamble(com.get_root()))
+        raise AssertionError("tampered p_eval accepted")
+    except VerifierError as e:
+        assert e.kind in ("ColumnEval", "ColumnDegree")
